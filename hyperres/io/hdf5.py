@@ -1,0 +1,947 @@
+"""Minimal self-contained HDF5 codec for EMIT netCDF4 granules.
+
+The environment has no h5py/netCDF4, so the framework carries its own
+reader for the HDF5 subset that EMIT L1B/L2A granules use (they are
+netCDF-4 files, i.e. HDF5 written by netcdf-c *without* the
+"latest format" flag):
+
+- superblock v0/v2/v3,
+- object headers v1 (with continuations) and v2 ("OHDR"),
+- groups via v1 symbol tables (B-tree v1 type 0 + SNOD + local heap),
+- datasets: contiguous and chunked layout (v3 message, chunk B-tree v1
+  type 1), filters: deflate (1) and shuffle (2),
+- datatypes: fixed-point / IEEE float (little-endian), fixed strings,
+- attributes (message 0x000C, v1-v3), including scalar string attrs,
+- variable-length string attributes via the global heap (netcdf-c writes
+  NC_STRING attrs that way).
+
+A matching writer produces valid files of the same subset so synthetic
+granules used in tests round-trip through the real reader path
+(reference entry points replaced: EMIT_data/emit_proj.py:607-614,
+EMIT_data/emit_tools.py:34-125, s2_emit/emit_io.py:18-31).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+MAGIC = b"\x89HDF\r\n\x1a\n"
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+# ===========================================================================
+# Reader
+# ===========================================================================
+
+@dataclass
+class _Dataspace:
+    shape: Tuple[int, ...]
+
+
+@dataclass
+class _Datatype:
+    cls: int
+    size: int
+    byte_order: str = "<"
+    signed: bool = True
+    is_string: bool = False
+    is_vlen_string: bool = False
+
+    def numpy_dtype(self) -> np.dtype:
+        if self.is_string:
+            return np.dtype(f"S{self.size}")
+        if self.cls == 0:  # fixed-point
+            kind = "i" if self.signed else "u"
+            return np.dtype(f"{self.byte_order}{kind}{self.size}")
+        if self.cls == 1:  # float
+            return np.dtype(f"{self.byte_order}f{self.size}")
+        raise ValueError(f"Unsupported datatype class {self.cls}")
+
+
+@dataclass
+class Dataset:
+    name: str
+    shape: Tuple[int, ...]
+    dtype: np.dtype
+    layout: str  # "contiguous" | "chunked" | "compact"
+    data_addr: int = UNDEF
+    data_size: int = 0
+    chunk_shape: Optional[Tuple[int, ...]] = None
+    btree_addr: int = UNDEF
+    filters: List[Tuple[int, Tuple[int, ...]]] = field(default_factory=list)
+    fillvalue: Optional[bytes] = None
+    attrs: Dict[str, Any] = field(default_factory=dict)
+    compact_data: Optional[bytes] = None
+    _file: Optional["HDF5File"] = None
+
+    # ---- data access ----
+
+    def __getitem__(self, key) -> np.ndarray:
+        return self.read()[key]
+
+    def read(self) -> np.ndarray:
+        f = self._file
+        if self.layout == "compact":
+            arr = np.frombuffer(self.compact_data, dtype=self.dtype)
+            return arr.reshape(self.shape).copy()
+        if self.layout == "contiguous":
+            if self.data_addr == UNDEF:
+                fill = self.fillvalue or b"\x00" * self.dtype.itemsize
+                arr = np.frombuffer(
+                    fill * int(np.prod(self.shape, dtype=np.int64)),
+                    dtype=self.dtype)
+                return arr.reshape(self.shape).copy()
+            raw = f._pread(self.data_addr, self.data_size)
+            arr = np.frombuffer(raw, dtype=self.dtype)
+            return arr.reshape(self.shape).copy()
+        # chunked
+        out = np.zeros(self.shape, dtype=self.dtype)
+        if self.fillvalue:
+            fv = np.frombuffer(self.fillvalue, dtype=self.dtype)[0]
+            out[...] = fv
+        for offsets, addr, size, filter_mask in f._iter_chunks(
+                self.btree_addr, len(self.shape) + 1):
+            raw = f._pread(addr, size)
+            raw = self._defilter(raw, filter_mask)
+            chunk = np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
+            sl = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(offsets, self.chunk_shape, self.shape))
+            csl = tuple(slice(0, s.stop - s.start) for s in sl)
+            out[sl] = chunk[csl]
+        return out
+
+    def _defilter(self, raw: bytes, filter_mask: int) -> bytes:
+        # filters apply in reverse on read; skip those disabled in the mask
+        for i in range(len(self.filters) - 1, -1, -1):
+            fid, cd = self.filters[i]
+            if filter_mask & (1 << i):
+                continue
+            if fid == 1:  # deflate
+                raw = zlib.decompress(raw)
+            elif fid == 2:  # shuffle
+                elem = cd[0] if cd else self.dtype.itemsize
+                n = len(raw) // elem
+                arr = np.frombuffer(raw, dtype=np.uint8).reshape(elem, n)
+                raw = arr.T.tobytes()
+            elif fid == 3:  # fletcher32: strip trailing checksum
+                raw = raw[:-4]
+            else:
+                raise ValueError(f"Unsupported HDF5 filter id {fid}")
+        return raw
+
+
+@dataclass
+class Group:
+    name: str
+    attrs: Dict[str, Any] = field(default_factory=dict)
+    groups: Dict[str, "Group"] = field(default_factory=dict)
+    datasets: Dict[str, Dataset] = field(default_factory=dict)
+
+    @property
+    def variables(self) -> Dict[str, Dataset]:
+        return self.datasets
+
+    def __getitem__(self, name: str):
+        if name in self.datasets:
+            return self.datasets[name]
+        if name in self.groups:
+            return self.groups[name]
+        raise KeyError(name)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.datasets or name in self.groups
+
+
+class HDF5File:
+    """Read-only HDF5 file over the EMIT granule subset."""
+
+    def __init__(self, path: Union[str, Path]):
+        self.path = Path(path)
+        self._fh = open(self.path, "rb")
+        self._parse_superblock()
+        self.root = self._read_group(self._root_header_addr, "/")
+
+    # ---- python niceties ----
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    @property
+    def attrs(self):
+        return self.root.attrs
+
+    @property
+    def groups(self):
+        return self.root.groups
+
+    @property
+    def variables(self):
+        return self.root.datasets
+
+    # ---- low-level ----
+
+    def _pread(self, addr: int, size: int) -> bytes:
+        self._fh.seek(addr)
+        return self._fh.read(size)
+
+    def _parse_superblock(self):
+        head = self._pread(0, 8)
+        if head != MAGIC:
+            raise ValueError(f"Not an HDF5 file: {self.path}")
+        version = self._pread(8, 1)[0]
+        if version == 0:
+            blk = self._pread(8, 56)
+            size_offsets = blk[5]
+            size_lengths = blk[6]
+            if size_offsets != 8 or size_lengths != 8:
+                raise ValueError("Only 8-byte offsets/lengths supported")
+            # root group symbol table entry at offset 8+24 = byte 24 of blk
+            # superblock v0: after 24 bytes of fields come base addr etc (4*8),
+            # then the root group symbol table entry
+            # layout: ver(1) fsver(1) rgver(1) res(1) shver(1) so(1) sl(1)
+            #         res(1) gln(2) gin(2) flags(4)  -> 16 bytes
+            # base(8) fsaddr(8) eof(8) driver(8) -> 48... then STE
+            ste = self._pread(8 + 16 + 32, 40)
+            # symbol table entry: link name offset(8) header addr(8) ...
+            self._root_header_addr = struct.unpack("<Q", ste[8:16])[0]
+        elif version in (2, 3):
+            blk = self._pread(8, 40)
+            size_offsets = blk[1]
+            size_lengths = blk[2]
+            if size_offsets != 8 or size_lengths != 8:
+                raise ValueError("Only 8-byte offsets/lengths supported")
+            self._root_header_addr = struct.unpack("<Q", blk[28:36])[0]
+        else:
+            raise ValueError(f"Unsupported superblock version {version}")
+
+    # ---- object headers ----
+
+    def _read_messages(self, addr: int) -> List[Tuple[int, bytes, int]]:
+        """Returns [(msg_type, body, flags)] for object header at addr."""
+        sig = self._pread(addr, 4)
+        if sig == b"OHDR":
+            return self._read_messages_v2(addr)
+        return self._read_messages_v1(addr)
+
+    def _read_messages_v1(self, addr: int) -> List[Tuple[int, bytes, int]]:
+        hdr = self._pread(addr, 16)
+        version = hdr[0]
+        if version != 1:
+            raise ValueError(f"Unsupported object header version {version}")
+        nmsgs = struct.unpack("<H", hdr[2:4])[0]
+        header_size = struct.unpack("<I", hdr[8:12])[0]
+        msgs: List[Tuple[int, bytes, int]] = []
+        # message data begins after 16-byte prefix (12 + 4 pad)
+        blocks = [(addr + 16, header_size)]
+        count = 0
+        bi = 0
+        while bi < len(blocks) and count < nmsgs:
+            baddr, bsize = blocks[bi]
+            bi += 1
+            pos = baddr
+            end = baddr + bsize
+            while pos + 8 <= end and count < nmsgs:
+                mh = self._pread(pos, 8)
+                mtype, msize, mflags = struct.unpack("<HHB", mh[:5])
+                body = self._pread(pos + 8, msize)
+                if mtype == 0x0010:  # continuation
+                    caddr, csize = struct.unpack("<QQ", body[:16])
+                    blocks.append((caddr, csize))
+                else:
+                    msgs.append((mtype, body, mflags))
+                count += 1
+                pos += 8 + msize
+        return msgs
+
+    def _read_messages_v2(self, addr: int) -> List[Tuple[int, bytes, int]]:
+        hdr = self._pread(addr, 6)
+        assert hdr[:4] == b"OHDR"
+        flags = hdr[5]
+        pos = addr + 6
+        if flags & 0x20:
+            pos += 8  # times
+        if flags & 0x10:
+            pos += 4  # max compact/dense attrs
+        size_bytes = 1 << (flags & 0x3)
+        size_of_chunk0 = int.from_bytes(self._pread(pos, size_bytes), "little")
+        pos += size_bytes
+        track_order = bool(flags & 0x04)
+        msgs: List[Tuple[int, bytes, int]] = []
+        blocks = [(pos, size_of_chunk0)]
+        bi = 0
+        while bi < len(blocks):
+            baddr, bsize = blocks[bi]
+            bi += 1
+            p = baddr
+            end = baddr + bsize - 4  # gap/checksum at end
+            while p + 4 <= end:
+                mh = self._pread(p, 4)
+                mtype = mh[0]
+                msize = struct.unpack("<H", mh[1:3])[0]
+                mflags = mh[3]
+                p += 4
+                if track_order:
+                    p += 2
+                body = self._pread(p, msize)
+                if mtype == 0x10:
+                    caddr, csize = struct.unpack("<QQ", body[:16])
+                    # continuation block begins with "OCHK"
+                    blocks.append((caddr + 4, csize - 4))
+                else:
+                    msgs.append((mtype, body, mflags))
+                p += msize
+        return msgs
+
+    # ---- message parsing ----
+
+    @staticmethod
+    def _parse_dataspace(body: bytes) -> _Dataspace:
+        version = body[0]
+        rank = body[1]
+        if version == 1:
+            off = 8
+        elif version == 2:
+            off = 4
+        else:
+            raise ValueError(f"Dataspace version {version}")
+        dims = struct.unpack(f"<{rank}Q", body[off:off + 8 * rank])
+        return _Dataspace(tuple(int(d) for d in dims))
+
+    @staticmethod
+    def _parse_datatype(body: bytes) -> _Datatype:
+        cls_ver = body[0]
+        cls = cls_ver & 0x0F
+        bits0, bits8, bits16 = body[1], body[2], body[3]
+        size = struct.unpack("<I", body[4:8])[0]
+        if cls == 0:  # fixed point
+            byte_order = ">" if (bits0 & 1) else "<"
+            signed = bool(bits0 & 0x08)
+            return _Datatype(cls, size, byte_order, signed)
+        if cls == 1:  # float
+            byte_order = ">" if (bits0 & 1) else "<"
+            return _Datatype(cls, size, byte_order)
+        if cls == 3:  # string
+            return _Datatype(cls, size, is_string=True)
+        if cls == 9:  # variable length
+            vtype = bits0 & 0x0F
+            if vtype == 1:  # vlen string
+                return _Datatype(cls, size, is_string=True, is_vlen_string=True)
+        raise ValueError(f"Unsupported datatype class {cls}")
+
+    def _parse_attribute(self, body: bytes) -> Tuple[str, Any]:
+        version = body[0]
+        if version == 1:
+            name_size, dt_size, ds_size = struct.unpack("<HHH", body[2:8])
+            off = 8
+            pad = lambda n: (n + 7) & ~7
+            name = body[off:off + name_size].split(b"\x00")[0].decode()
+            off += pad(name_size)
+            dt = self._parse_datatype(body[off:off + dt_size])
+            off += pad(dt_size)
+            ds = self._parse_dataspace(body[off:off + ds_size])
+            off += pad(ds_size)
+        elif version in (2, 3):
+            name_size, dt_size, ds_size = struct.unpack("<HHH", body[2:8])
+            off = 8
+            if version == 3:
+                off += 1  # name character-set encoding
+            name = body[off:off + name_size].split(b"\x00")[0].decode()
+            off += name_size
+            dt = self._parse_datatype(body[off:off + dt_size])
+            off += dt_size
+            ds = self._parse_dataspace(body[off:off + ds_size])
+            off += ds_size
+        else:
+            raise ValueError(f"Attribute version {version}")
+        value = self._decode_attr_value(body[off:], dt, ds)
+        return name, value
+
+    def _decode_attr_value(self, raw: bytes, dt: _Datatype, ds: _Dataspace):
+        n = int(np.prod(ds.shape)) if ds.shape else 1
+        if dt.is_vlen_string:
+            vals = []
+            for i in range(n):
+                rec = raw[i * 16:(i + 1) * 16]
+                length, gaddr, gidx = struct.unpack("<IQI", rec)
+                vals.append(self._read_global_heap(gaddr, gidx)[:length].decode(
+                    "utf-8", "replace"))
+            return vals[0] if not ds.shape else vals
+        if dt.is_string:
+            vals = [raw[i * dt.size:(i + 1) * dt.size].split(b"\x00")[0]
+                    .decode("utf-8", "replace") for i in range(n)]
+            return vals[0] if not ds.shape else vals
+        arr = np.frombuffer(raw[:n * dt.size], dtype=dt.numpy_dtype())
+        if not ds.shape:
+            v = arr[0]
+            return v.item() if arr.dtype.kind in "iuf" else v
+        return arr.reshape(ds.shape).copy()
+
+    def _read_global_heap(self, collection_addr: int, index: int) -> bytes:
+        raw = self._pread(collection_addr, 16)
+        if raw[:4] != b"GCOL":
+            raise ValueError("Bad global heap collection")
+        size = struct.unpack("<Q", raw[8:16])[0]
+        blob = self._pread(collection_addr, size)
+        pos = 16
+        while pos + 16 <= size:
+            idx, refcount, _res, osize = struct.unpack(
+                "<HHIQ", blob[pos:pos + 16])
+            if idx == 0:
+                break
+            if idx == index:
+                return blob[pos + 16:pos + 16 + osize]
+            pos += 16 + ((osize + 7) & ~7)
+        raise KeyError(f"Global heap object {index} not found")
+
+    # ---- groups ----
+
+    def _read_group(self, header_addr: int, name: str) -> Group:
+        msgs = self._read_messages(header_addr)
+        grp = Group(name)
+        links: List[Tuple[str, int]] = []
+        for mtype, body, _ in msgs:
+            if mtype == 0x000C:
+                k, v = self._parse_attribute(body)
+                grp.attrs[k] = v
+            elif mtype == 0x0011:  # symbol table
+                btree_addr, heap_addr = struct.unpack("<QQ", body[:16])
+                links.extend(self._read_symbol_table(btree_addr, heap_addr))
+            elif mtype == 0x0006:  # link message (v2 compact groups)
+                lk = self._parse_link_message(body)
+                if lk is not None:
+                    links.append(lk)
+        for child_name, child_addr in links:
+            child_msgs = self._read_messages(child_addr)
+            types = {m[0] for m in child_msgs}
+            if 0x0008 in types or 0x0003 in types:  # layout/datatype => dataset
+                ds = self._read_dataset(child_msgs, child_name)
+                grp.datasets[child_name] = ds
+            else:
+                grp.groups[child_name] = self._read_group(child_addr, child_name)
+        return grp
+
+    def _parse_link_message(self, body: bytes) -> Optional[Tuple[str, int]]:
+        version = body[0]
+        flags = body[1]
+        pos = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = body[pos]
+            pos += 1
+        if flags & 0x04:
+            pos += 8  # creation order
+        if flags & 0x10:
+            pos += 1  # charset
+        len_size = 1 << (flags & 0x3)
+        name_len = int.from_bytes(body[pos:pos + len_size], "little")
+        pos += len_size
+        name = body[pos:pos + name_len].decode()
+        pos += name_len
+        if ltype == 0:  # hard link
+            addr = struct.unpack("<Q", body[pos:pos + 8])[0]
+            return name, addr
+        return None
+
+    def _read_symbol_table(self, btree_addr: int, heap_addr: int):
+        # local heap data segment address
+        lh = self._pread(heap_addr, 32)
+        if lh[:4] != b"HEAP":
+            raise ValueError("Bad local heap")
+        data_addr = struct.unpack("<Q", lh[24:32])[0]
+
+        entries: List[Tuple[str, int]] = []
+
+        def walk(node_addr: int):
+            head = self._pread(node_addr, 24)
+            if head[:4] != b"TREE":
+                raise ValueError("Bad group B-tree node")
+            node_type, node_level = head[4], head[5]
+            nchildren = struct.unpack("<H", head[6:8])[0]
+            # keys/children: (2*nchildren+1) keys of 8 bytes, children 8 bytes
+            body = self._pread(node_addr + 24,
+                               (2 * nchildren + 1) * 8)
+            vals = struct.unpack(f"<{2 * nchildren + 1}Q", body)
+            children = [vals[2 * i + 1] for i in range(nchildren)]
+            for c in children:
+                if node_level > 0:
+                    walk(c)
+                else:
+                    snod = self._pread(c, 8)
+                    if snod[:4] != b"SNOD":
+                        raise ValueError("Bad symbol table node")
+                    nsyms = struct.unpack("<H", snod[6:8])[0]
+                    raw = self._pread(c + 8, nsyms * 40)
+                    for i in range(nsyms):
+                        e = raw[i * 40:(i + 1) * 40]
+                        name_off, obj_addr = struct.unpack("<QQ", e[:16])
+                        nm = self._read_heap_string(data_addr + name_off)
+                        entries.append((nm, obj_addr))
+
+        walk(btree_addr)
+        return entries
+
+    def _read_heap_string(self, addr: int) -> str:
+        out = b""
+        while True:
+            chunk = self._pread(addr + len(out), 64)
+            if b"\x00" in chunk:
+                out += chunk.split(b"\x00")[0]
+                break
+            out += chunk
+        return out.decode()
+
+    # ---- datasets ----
+
+    def _read_dataset(self, msgs, name: str) -> Dataset:
+        shape: Tuple[int, ...] = ()
+        dtype = None
+        layout = "contiguous"
+        data_addr, data_size = UNDEF, 0
+        chunk_shape = None
+        btree_addr = UNDEF
+        filters: List[Tuple[int, Tuple[int, ...]]] = []
+        fill = None
+        attrs: Dict[str, Any] = {}
+        compact = None
+        for mtype, body, _ in msgs:
+            if mtype == 0x0001:
+                shape = self._parse_dataspace(body).shape
+            elif mtype == 0x0003:
+                dtype = self._parse_datatype(body)
+            elif mtype == 0x0005:
+                fill = self._parse_fill(body)
+            elif mtype == 0x0008:
+                (layout, data_addr, data_size, chunk_shape, btree_addr,
+                 compact) = self._parse_layout(body)
+            elif mtype == 0x000B:
+                filters = self._parse_filters(body)
+            elif mtype == 0x000C:
+                k, v = self._parse_attribute(body)
+                attrs[k] = v
+        np_dtype = dtype.numpy_dtype() if dtype else np.dtype("f4")
+        ds = Dataset(name=name, shape=shape, dtype=np_dtype, layout=layout,
+                     data_addr=data_addr, data_size=data_size,
+                     chunk_shape=chunk_shape, btree_addr=btree_addr,
+                     filters=filters, fillvalue=fill, attrs=attrs,
+                     compact_data=compact)
+        ds._file = self
+        return ds
+
+    @staticmethod
+    def _parse_fill(body: bytes) -> Optional[bytes]:
+        version = body[0]
+        if version in (1, 2):
+            # space alloc time, fill write time, defined flag
+            defined = body[3]
+            if version == 2 and not defined:
+                return None
+            size = struct.unpack("<I", body[4:8])[0]
+            return body[8:8 + size] if size else None
+        if version == 3:
+            flags = body[1]
+            if flags & 0x20:
+                size = struct.unpack("<I", body[2:6])[0]
+                return body[6:6 + size]
+            return None
+        return None
+
+    @staticmethod
+    def _parse_layout(body: bytes):
+        version = body[0]
+        layout = "contiguous"
+        data_addr, data_size = UNDEF, 0
+        chunk_shape = None
+        btree_addr = UNDEF
+        compact = None
+        if version == 3:
+            cls = body[1]
+            if cls == 0:  # compact
+                layout = "compact"
+                size = struct.unpack("<H", body[2:4])[0]
+                compact = body[4:4 + size]
+            elif cls == 1:
+                layout = "contiguous"
+                data_addr, data_size = struct.unpack("<QQ", body[2:18])
+            elif cls == 2:
+                layout = "chunked"
+                rank = body[2]
+                btree_addr = struct.unpack("<Q", body[3:11])[0]
+                dims = struct.unpack(f"<{rank}I", body[11:11 + 4 * rank])
+                chunk_shape = tuple(int(d) for d in dims[:-1])  # last is elem size
+            else:
+                raise ValueError(f"Layout class {cls}")
+        else:
+            raise ValueError(f"Layout message version {version}")
+        return layout, data_addr, data_size, chunk_shape, btree_addr, compact
+
+    @staticmethod
+    def _parse_filters(body: bytes) -> List[Tuple[int, Tuple[int, ...]]]:
+        version = body[0]
+        nfilters = body[1]
+        filters = []
+        if version == 1:
+            pos = 8
+        else:
+            pos = 2
+        for _ in range(nfilters):
+            fid, name_len = struct.unpack("<HH", body[pos:pos + 4])
+            flags, ncd = struct.unpack("<HH", body[pos + 4:pos + 8])
+            pos += 8
+            if version == 1 or fid >= 256:
+                name_padded = (name_len + 7) & ~7 if version == 1 else name_len
+                pos += name_padded
+            cd = struct.unpack(f"<{ncd}I", body[pos:pos + 4 * ncd])
+            pos += 4 * ncd
+            if version == 1 and ncd % 2 == 1:
+                pos += 4
+            filters.append((fid, tuple(int(c) for c in cd)))
+        return filters
+
+    def _iter_chunks(self, btree_addr: int, rank_plus1: int):
+        """Yield (offsets, addr, size, filter_mask) from a v1 chunk B-tree."""
+        if btree_addr == UNDEF:
+            return
+        key_size = 8 + 8 * rank_plus1
+
+        def walk(addr: int):
+            head = self._pread(addr, 24)
+            if head[:4] != b"TREE":
+                raise ValueError("Bad chunk B-tree node")
+            node_level = head[5]
+            nused = struct.unpack("<H", head[6:8])[0]
+            body = self._pread(addr + 24,
+                               nused * (key_size + 8) + key_size)
+            pos = 0
+            for i in range(nused):
+                key = body[pos:pos + key_size]
+                pos += key_size
+                child = struct.unpack("<Q", body[pos:pos + 8])[0]
+                pos += 8
+                size, mask = struct.unpack("<II", key[:8])
+                offs = struct.unpack(f"<{rank_plus1}Q", key[8:])
+                if node_level > 0:
+                    yield from walk(child)
+                else:
+                    yield tuple(int(o) for o in offs[:-1]), child, size, mask
+
+        yield from walk(btree_addr)
+
+
+# ===========================================================================
+# Writer (subset: superblock v0, v1 object headers, v1 symbol-table groups,
+# contiguous or chunked+deflate datasets, inline attributes)
+# ===========================================================================
+
+def _pad8(b: bytes) -> bytes:
+    return b + b"\x00" * ((8 - len(b) % 8) % 8)
+
+
+class _Buf:
+    def __init__(self):
+        self.data = bytearray()
+
+    def tell(self) -> int:
+        return len(self.data)
+
+    def write(self, b: bytes) -> int:
+        off = len(self.data)
+        self.data += b
+        return off
+
+    def patch(self, off: int, b: bytes):
+        self.data[off:off + len(b)] = b
+
+    def align(self, n: int = 8):
+        while len(self.data) % n:
+            self.data += b"\x00"
+
+
+def _dt_message(dtype: np.dtype) -> bytes:
+    dtype = np.dtype(dtype)
+    if dtype.kind == "S":
+        # string class 3, null-terminated ascii
+        return struct.pack("<BBBBI", 0x13, 0x00, 0, 0, dtype.itemsize)
+    if dtype.kind in ("i", "u"):
+        bits0 = 0x08 if dtype.kind == "i" else 0x00
+        body = struct.pack("<BBBBI", 0x10, bits0, 0, 0, dtype.itemsize)
+        body += struct.pack("<HH", 0, dtype.itemsize * 8)
+        return body
+    if dtype.kind == "f":
+        if dtype.itemsize == 4:
+            props = struct.pack("<HHBBBBI", 0, 32, 23, 8, 0, 23, 127)
+            bits = (0x20, 0x1F, 0x00)
+        else:
+            props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+            bits = (0x20, 0x3F, 0x00)
+        body = struct.pack("<BBBBI", 0x11, bits[0], bits[1], bits[2],
+                           dtype.itemsize) + props
+        return body
+    raise ValueError(f"Unsupported dtype for writer: {dtype}")
+
+
+def _ds_message(shape: Tuple[int, ...]) -> bytes:
+    rank = len(shape)
+    body = struct.pack("<BBBB4x", 1, rank, 0, 0)
+    body += struct.pack(f"<{rank}Q", *shape)
+    return body
+
+
+def _attr_message(name: str, value) -> bytes:
+    if isinstance(value, str):
+        data = value.encode() + b"\x00"
+        dtype = np.dtype(f"S{len(data)}")
+        arr = None
+        shape = ()
+        raw = data
+    else:
+        arr = np.asarray(value)
+        if arr.dtype.kind == "U":
+            data = str(value).encode() + b"\x00"
+            dtype = np.dtype(f"S{len(data)}")
+            shape = ()
+            raw = data
+        else:
+            dtype = arr.dtype
+            if dtype == np.dtype("int64"):
+                arr = arr.astype(np.int64)
+            shape = arr.shape
+            raw = arr.tobytes()
+    name_b = name.encode() + b"\x00"
+    dt_b = _dt_message(dtype)
+    ds_b = _ds_message(shape) if shape else struct.pack("<BBBB4x", 1, 0, 0, 0)
+    body = struct.pack("<BxHHH", 1, len(name_b), len(dt_b), len(ds_b))
+    body += _pad8(name_b) + _pad8(dt_b) + _pad8(ds_b) + raw
+    return body
+
+
+def _messages_block(msgs: List[Tuple[int, bytes]]) -> bytes:
+    out = b""
+    for mtype, body in msgs:
+        body = _pad8(body)
+        out += struct.pack("<HHB3x", mtype, len(body), 0) + body
+    return out
+
+
+def _object_header(msgs: List[Tuple[int, bytes]]) -> bytes:
+    blk = _messages_block(msgs)
+    return struct.pack("<BxHII4x", 1, len(msgs), 1, len(blk)) + blk
+
+
+class HDF5Writer:
+    """Writes an HDF5 file of the reader subset. Build the tree with
+    ``create_group`` / ``create_dataset`` / ``set_attrs``, then ``save``."""
+
+    def __init__(self, path: Union[str, Path]):
+        self.path = Path(path)
+        self.tree: Dict[str, Any] = {"__attrs__": {}, "__children__": {}}
+
+    def _node(self, group_path: str) -> Dict[str, Any]:
+        node = self.tree
+        for part in [p for p in group_path.strip("/").split("/") if p]:
+            node = node["__children__"].setdefault(
+                part, {"__attrs__": {}, "__children__": {}})
+        return node
+
+    def create_group(self, path: str) -> None:
+        self._node(path)
+
+    def set_attrs(self, path: str, **attrs) -> None:
+        self._node(path)["__attrs__"].update(attrs)
+
+    def create_dataset(self, path: str, data: np.ndarray, *,
+                       chunks: Optional[Tuple[int, ...]] = None,
+                       compression: Optional[str] = None,
+                       shuffle: bool = False,
+                       attrs: Optional[Dict[str, Any]] = None) -> None:
+        parts = path.strip("/").split("/")
+        parent = self._node("/".join(parts[:-1]))
+        parent["__children__"][parts[-1]] = {
+            "__dataset__": np.ascontiguousarray(data),
+            "__chunks__": chunks,
+            "__compression__": compression,
+            "__shuffle__": shuffle,
+            "__attrs__": dict(attrs or {}),
+        }
+
+    # ---- serialisation ----
+
+    def save(self) -> Path:
+        buf = _Buf()
+        # superblock v0 placeholder (96 bytes incl. root STE)
+        sb_fields = struct.pack(
+            "<8sBBBBBBBBHHI", MAGIC, 0, 0, 0, 0, 0, 8, 8, 0, 4, 16, 0)
+        sb_addrs = struct.pack("<QQQQ", 0, UNDEF, 0, UNDEF)  # eof patched
+        buf.write(sb_fields + sb_addrs)
+        root_ste_off = buf.tell()
+        buf.write(b"\x00" * 40)
+
+        root_addr = self._write_group(buf, self.tree)
+        # root symbol table entry: name offset 0, header addr, no cache
+        buf.patch(root_ste_off, struct.pack("<QQI4x16x", 0, root_addr, 0))
+        # patch EOF address (offset of eof field: 8+16+16 = 40)
+        buf.patch(40, struct.pack("<Q", len(buf.data)))
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.path.write_bytes(bytes(buf.data))
+        return self.path
+
+    def _write_group(self, buf: _Buf, node: Dict[str, Any]) -> int:
+        # write children first
+        entries: List[Tuple[str, int]] = []
+        for name in sorted(node["__children__"]):
+            child = node["__children__"][name]
+            if "__dataset__" in child:
+                addr = self._write_dataset(buf, child)
+            else:
+                addr = self._write_group(buf, child)
+            entries.append((name, addr))
+
+        # local heap with names
+        heap_data = _Buf()
+        heap_data.write(b"\x00" * 8)  # free-list head sentinel region
+        name_offsets = {}
+        for name, _ in entries:
+            name_offsets[name] = heap_data.tell()
+            heap_data.write(name.encode() + b"\x00")
+            heap_data.align(8)
+        heap_data.align(8)
+        buf.align(8)
+        heap_data_addr = buf.tell() + 32
+        heap_hdr = (b"HEAP" + struct.pack("<B3x", 0)
+                    + struct.pack("<QQQ", len(heap_data.data), UNDEF,
+                                  heap_data_addr))
+        buf.write(heap_hdr)
+        buf.write(bytes(heap_data.data))
+
+        # SNOD with all entries (sorted by name, as required)
+        buf.align(8)
+        snod_addr = buf.tell()
+        snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(entries))
+        for name, addr in entries:
+            snod += struct.pack("<QQI4x16x", name_offsets[name], addr, 0)
+        buf.write(snod)
+
+        # B-tree v1 (single leaf)
+        buf.align(8)
+        btree_addr = buf.tell()
+        bt = (b"TREE" + struct.pack("<BBH", 0, 0, 1)
+              + struct.pack("<QQ", UNDEF, UNDEF))
+        # key0, child0, key1
+        key0 = 0
+        key1 = name_offsets[entries[-1][0]] if entries else 0
+        bt += struct.pack("<QQQ", key0, snod_addr, key1)
+        buf.write(bt)
+
+        # group object header
+        msgs: List[Tuple[int, bytes]] = []
+        msgs.append((0x0011, struct.pack("<QQ", btree_addr,
+                                         btree_addr - 32 - len(heap_data.data)
+                                         - ((8 - (32 + len(heap_data.data)) % 8) % 8)
+                                         if False else 0)))
+        # simpler: recompute heap header addr
+        heap_hdr_addr = heap_data_addr - 32
+        msgs[-1] = (0x0011, struct.pack("<QQ", btree_addr, heap_hdr_addr))
+        for k, v in node["__attrs__"].items():
+            msgs.append((0x000C, _attr_message(k, v)))
+        buf.align(8)
+        addr = buf.tell()
+        buf.write(_object_header(msgs))
+        return addr
+
+    def _write_dataset(self, buf: _Buf, node: Dict[str, Any]) -> int:
+        data: np.ndarray = node["__dataset__"]
+        chunks = node["__chunks__"]
+        compression = node["__compression__"]
+        shuffle = node["__shuffle__"]
+        msgs: List[Tuple[int, bytes]] = []
+        msgs.append((0x0001, _ds_message(data.shape)))
+        msgs.append((0x0003, _dt_message(data.dtype)))
+        # fill value v2: undefined
+        msgs.append((0x0005, struct.pack("<BBBBI", 1, 2, 2, 1, 0)))
+
+        if chunks is None:
+            buf.align(8)
+            addr = buf.write(data.tobytes())
+            layout = struct.pack("<BBQQ", 3, 1, addr, data.nbytes)
+            msgs.append((0x0008, layout))
+        else:
+            chunks = tuple(int(c) for c in chunks)
+            filters: List[Tuple[int, Tuple[int, ...]]] = []
+            if shuffle:
+                filters.append((2, (data.dtype.itemsize,)))
+            if compression in ("gzip", "deflate", "zlib"):
+                filters.append((1, (4,)))
+            # write chunks + collect btree entries
+            entries = []
+            grid = [range(0, s, c) for s, c in zip(data.shape, chunks)]
+            import itertools
+            for offs in itertools.product(*grid):
+                sl = tuple(slice(o, min(o + c, s))
+                           for o, c, s in zip(offs, chunks, data.shape))
+                chunk = np.zeros(chunks, dtype=data.dtype)
+                chunk[tuple(slice(0, s.stop - s.start) for s in sl)] = data[sl]
+                raw = chunk.tobytes()
+                for fid, cd in filters:
+                    if fid == 2:
+                        elem = cd[0]
+                        n = len(raw) // elem
+                        raw = (np.frombuffer(raw, dtype=np.uint8)
+                               .reshape(n, elem).T.tobytes())
+                    elif fid == 1:
+                        raw = zlib.compress(raw, cd[0])
+                buf.align(8)
+                addr = buf.write(raw)
+                entries.append((offs, addr, len(raw)))
+            # chunk B-tree (single leaf; fine for test-scale data)
+            rank_plus1 = data.ndim + 1
+            key_size = 8 + 8 * rank_plus1
+            buf.align(8)
+            btree_addr = buf.tell()
+            bt = (b"TREE" + struct.pack("<BBH", 1, 0, len(entries))
+                  + struct.pack("<QQ", UNDEF, UNDEF))
+            for offs, addr, size in entries:
+                bt += struct.pack("<II", size, 0)
+                bt += struct.pack(f"<{rank_plus1}Q", *offs, 0)
+                bt += struct.pack("<Q", addr)
+            # final key: dims themselves
+            bt += struct.pack("<II", 0, 0)
+            bt += struct.pack(f"<{rank_plus1}Q", *data.shape, 0)
+            buf.write(bt)
+            layout = struct.pack("<BBB", 3, 2, rank_plus1)
+            layout += struct.pack("<Q", btree_addr)
+            layout += struct.pack(f"<{rank_plus1}I", *chunks,
+                                  data.dtype.itemsize)
+            msgs.append((0x0008, layout))
+            if filters:
+                fbody = struct.pack("<BB6x", 1, len(filters))
+                for fid, cd in filters:
+                    name = {1: b"deflate\x00", 2: b"shuffle\x00"}[fid]
+                    fbody += struct.pack("<HHHH", fid, len(name), 1, len(cd))
+                    fbody += _pad8(name)
+                    fbody += struct.pack(f"<{len(cd)}I", *cd)
+                    if len(cd) % 2 == 1:
+                        fbody += b"\x00" * 4
+                msgs.append((0x000B, fbody))
+
+        for k, v in node["__attrs__"].items():
+            msgs.append((0x000C, _attr_message(k, v)))
+        buf.align(8)
+        addr = buf.tell()
+        buf.write(_object_header(msgs))
+        return addr
+
+
+def open_hdf5(path: Union[str, Path]) -> HDF5File:
+    return HDF5File(path)

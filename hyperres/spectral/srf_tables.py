@@ -1,0 +1,161 @@
+"""Sentinel-2 spectral response functions (SRF).
+
+The reference downloads the Copernicus SRF workbook at runtime
+(s2_emit/srf.py:6-52). This framework embeds a parametric model of the
+same response functions — per-band centre/bandwidth from the published
+Sentinel-2 band specification (also tabulated in the reference demo
+notebook, Pairs_EMIT_S2_demo-2.ipynb cell 57) with smooth super-Gaussian
+shoulders — so band synthesis works offline. When the official workbook
+is available on disk, ``load_srf_from_xlsx`` parses it with the same
+column conventions as the reference.
+
+Returned SRFs use the reference's dict contract:
+``{band: (lambda_nm, response)}`` with response > 0 on its support.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from ..core.constants import S2_BANDS_13
+
+# Band -> (centre_nm, bandwidth_nm, native_resolution_m) per platform.
+# Values follow the published Sentinel-2 MSI band definitions (the S2A/S2B
+# centres differ by a few nm for the visible/red-edge bands).
+S2A_BAND_TABLE: Dict[str, Tuple[float, float, int]] = {
+    "B1": (442.7, 21.0, 60),
+    "B2": (492.4, 66.0, 10),
+    "B3": (559.8, 36.0, 10),
+    "B4": (664.6, 31.0, 10),
+    "B5": (704.1, 15.0, 20),
+    "B6": (740.5, 15.0, 20),
+    "B7": (782.8, 20.0, 20),
+    "B8": (832.8, 106.0, 10),
+    "B8A": (864.7, 21.0, 20),
+    "B9": (945.1, 20.0, 60),
+    "B10": (1373.5, 31.0, 60),
+    "B11": (1613.7, 91.0, 20),
+    "B12": (2202.4, 175.0, 20),
+}
+
+S2B_BAND_TABLE: Dict[str, Tuple[float, float, int]] = {
+    "B1": (442.3, 21.0, 60),
+    "B2": (492.1, 66.0, 10),
+    "B3": (559.0, 36.0, 10),
+    "B4": (665.0, 31.0, 10),
+    "B5": (703.8, 16.0, 20),
+    "B6": (739.1, 15.0, 20),
+    "B7": (779.7, 20.0, 20),
+    "B8": (833.0, 106.0, 10),
+    "B8A": (864.0, 22.0, 20),
+    "B9": (943.2, 21.0, 60),
+    "B10": (1376.9, 30.0, 60),
+    "B11": (1610.4, 94.0, 20),
+    "B12": (2185.7, 185.0, 20),
+}
+
+# Simplified rectangular band-pass table used by the reference's
+# box-integral variant (demo notebook cell 57): centre +- bandwidth/2.
+S2_BOX_TABLE: Dict[str, Tuple[float, float]] = {
+    "B1": (443.0, 20.0),
+    "B2": (490.0, 65.0),
+    "B3": (560.0, 35.0),
+    "B4": (665.0, 30.0),
+    "B5": (705.0, 15.0),
+    "B6": (740.0, 15.0),
+    "B7": (783.0, 20.0),
+    "B8": (842.0, 115.0),
+    "B8A": (865.0, 20.0),
+    "B9": (945.0, 20.0),
+    "B11": (1610.0, 90.0),
+    "B12": (2190.0, 180.0),
+}
+
+SRFDict = Dict[str, Tuple[np.ndarray, np.ndarray]]
+
+
+def _band_table(platform: str) -> Dict[str, Tuple[float, float, int]]:
+    platform = platform.upper()
+    if platform == "S2A":
+        return S2A_BAND_TABLE
+    if platform == "S2B":
+        return S2B_BAND_TABLE
+    raise ValueError(f"Unknown platform {platform!r} (expected S2A/S2B)")
+
+
+def builtin_srf(platform: str = "S2A",
+                bands: Optional[List[str]] = None,
+                exponent: float = 4.0,
+                step_nm: float = 1.0) -> SRFDict:
+    """Parametric SRF: a super-Gaussian ``exp(-(2|x-c|/w)^(2p))`` per band,
+    sampled at 1 nm over the support where response > 1e-4. The flat-top
+    shape approximates the measured MSI responses far better than a plain
+    Gaussian while remaining fully self-contained."""
+    table = _band_table(platform)
+    bands = bands or S2_BANDS_13
+    out: SRFDict = {}
+    for b in bands:
+        if b not in table:
+            raise KeyError(f"Band {b!r} not in {platform} table")
+        centre, width, _res = table[b]
+        half_support = width  # generous support; tails decay fast
+        lam = np.arange(centre - half_support, centre + half_support + step_nm,
+                        step_nm)
+        resp = np.exp(-((2.0 * np.abs(lam - centre) / width) ** (2.0 * exponent)))
+        keep = resp > 1e-4
+        out[b] = (lam[keep].astype(np.float64), resp[keep].astype(np.float64))
+    return out
+
+
+def band_resolution_m(band: str, platform: str = "S2A") -> int:
+    return _band_table(platform)[band][2]
+
+
+def load_srf_from_xlsx(
+    xlsx_path: Union[str, Path],
+    platform: str = "S2A",
+    bands: Optional[List[str]] = None,
+    wavelength_col: str = "SR_WL",
+    col_prefix: Optional[str] = None,
+) -> SRFDict:
+    """Parse the official Copernicus SRF workbook (same sheet/column
+    conventions as the reference loader, s2_emit/srf.py:20-52). Requires
+    pandas with an xlsx engine; use ``builtin_srf`` when offline."""
+    import pandas as pd
+
+    bands = bands or S2_BANDS_13
+    platform = platform.upper()
+    if col_prefix is None:
+        col_prefix = f"{platform}_SR_AV_"
+
+    xl = pd.ExcelFile(xlsx_path)
+    candidates = [s for s in xl.sheet_names
+                  if "Spectral Responses" in s and platform in s]
+    if not candidates:
+        raise ValueError(
+            f"No sheet containing 'Spectral Responses' and '{platform}'. "
+            f"Sheets: {xl.sheet_names}")
+    df = xl.parse(candidates[0])
+    wavelength_nm = pd.to_numeric(df[wavelength_col], errors="coerce").to_numpy()
+    out: SRFDict = {}
+    for b in bands:
+        col = f"{col_prefix}{b}"
+        if col not in df.columns:
+            raise KeyError(f"Column '{col}' not found")
+        resp = pd.to_numeric(df[col], errors="coerce").to_numpy()
+        m = np.isfinite(wavelength_nm) & np.isfinite(resp) & (resp > 0)
+        out[b] = (wavelength_nm[m].astype(float), resp[m].astype(float))
+    return out
+
+
+def load_srf(platform: str = "S2A",
+             xlsx_path: Optional[Union[str, Path]] = None,
+             bands: Optional[List[str]] = None) -> SRFDict:
+    """SRF dict from the official workbook when given, else the builtin
+    parametric model."""
+    if xlsx_path is not None and Path(xlsx_path).exists():
+        return load_srf_from_xlsx(xlsx_path, platform=platform, bands=bands)
+    return builtin_srf(platform=platform, bands=bands)

@@ -1,0 +1,89 @@
+import numpy as np
+import pytest
+
+from hyperres.io.hdf5 import HDF5File, HDF5Writer
+
+
+def test_roundtrip_contiguous(tmp_path, rng):
+    w = HDF5Writer(tmp_path / "a.h5")
+    data = rng.normal(size=(7, 9)).astype(np.float32)
+    w.create_dataset("/x", data)
+    w.set_attrs("/", title="hello", version=np.int32(3))
+    w.save()
+
+    with HDF5File(tmp_path / "a.h5") as f:
+        np.testing.assert_array_equal(f.variables["x"].read(), data)
+        assert f.attrs["title"] == "hello"
+        assert f.attrs["version"] == 3
+
+
+def test_roundtrip_groups_and_attrs(tmp_path, rng):
+    w = HDF5Writer(tmp_path / "g.h5")
+    wl = np.linspace(380.0, 2500.0, 285)
+    w.create_group("/sensor_band_parameters")
+    w.create_dataset("/sensor_band_parameters/wavelengths", wl)
+    w.create_dataset("/sensor_band_parameters/good_wavelengths",
+                     np.ones(285, dtype=np.uint8))
+    w.create_group("/location")
+    w.create_dataset("/location/glt_x",
+                     rng.integers(0, 100, (40, 50)).astype(np.int32))
+    w.set_attrs("/", geotransform=np.arange(6, dtype=np.float64),
+                time_coverage_start="2023-08-19T11:01:26+0000")
+    w.save()
+
+    with HDF5File(tmp_path / "g.h5") as f:
+        assert "sensor_band_parameters" in f.groups
+        sbp = f.groups["sensor_band_parameters"]
+        np.testing.assert_allclose(sbp.variables["wavelengths"].read(), wl)
+        assert f.attrs["time_coverage_start"] == "2023-08-19T11:01:26+0000"
+        np.testing.assert_array_equal(f.attrs["geotransform"],
+                                      np.arange(6, dtype=np.float64))
+        assert f.groups["location"]["glt_x"].shape == (40, 50)
+
+
+@pytest.mark.parametrize("compression,shuffle", [
+    (None, False), ("deflate", False), ("deflate", True)])
+def test_roundtrip_chunked(tmp_path, rng, compression, shuffle):
+    w = HDF5Writer(tmp_path / "c.h5")
+    data = rng.normal(size=(30, 44, 12)).astype(np.float32)
+    w.create_dataset("/reflectance", data, chunks=(16, 16, 12),
+                     compression=compression, shuffle=shuffle)
+    w.save()
+
+    with HDF5File(tmp_path / "c.h5") as f:
+        ds = f.variables["reflectance"]
+        assert ds.layout == "chunked"
+        np.testing.assert_array_equal(ds.read(), data)
+
+
+def test_dataset_attrs_and_slicing(tmp_path, rng):
+    w = HDF5Writer(tmp_path / "d.h5")
+    data = rng.integers(0, 1000, size=(10, 20)).astype(np.int16)
+    w.create_dataset("/m", data, attrs={"units": "nm",
+                                        "_FillValue": np.float32(-9999.0)})
+    w.save()
+    with HDF5File(tmp_path / "d.h5") as f:
+        ds = f.variables["m"]
+        assert ds.attrs["units"] == "nm"
+        assert ds.attrs["_FillValue"] == np.float32(-9999.0)
+        np.testing.assert_array_equal(ds[2:5, 3:7], data[2:5, 3:7])
+
+
+def test_non_hdf5_rejected(tmp_path):
+    (tmp_path / "x.h5").write_bytes(b"not an hdf5 file at all.....")
+    with pytest.raises(ValueError, match="Not an HDF5"):
+        HDF5File(tmp_path / "x.h5")
+
+
+def test_many_children_sorted_lookup(tmp_path, rng):
+    w = HDF5Writer(tmp_path / "many.h5")
+    arrays = {}
+    for i in range(40):
+        name = f"var_{i:02d}"
+        arrays[name] = rng.normal(size=(5,)).astype(np.float64)
+        w.create_dataset(f"/{name}", arrays[name])
+    w.save()
+    with HDF5File(tmp_path / "many.h5") as f:
+        assert len(f.variables) == 40
+        for name, arr in arrays.items():
+            np.testing.assert_array_equal(f.variables[name].read(), arr)
