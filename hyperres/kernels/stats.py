@@ -1,0 +1,160 @@
+"""Masked reductions: percentiles, min/max, stretches, quantization.
+
+Device-side replacements for the reference's host reductions:
+- percentile stretches (s2_emit/color.py:6-34),
+- strided robust min/max for OBS scaling (EMIT_data/emit_proj.py:459-492),
+- uint16 quantization with nodata sentinel (tiles_helpers/utils.py:362-373,
+  gdal_translate -scale at emit_proj.py:248-276).
+
+Masked percentiles use the NaN-sort approach (exact, matching
+np.percentile linear interpolation on the valid subset). For
+multi-device use, `histogram_percentile` provides a deterministic
+fixed-shape alternative that reduces with psum-friendly histograms.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def masked_percentile(x: jax.Array, mask: jax.Array,
+                      qs: jax.Array) -> jax.Array:
+    """Percentiles of x[mask] (linear interpolation, matching
+    np.percentile). x, mask same shape; qs (Q,) in [0, 100]."""
+    xf = jnp.where(mask, x, jnp.nan).ravel()
+    return jnp.nanpercentile(xf, qs)
+
+
+@jax.jit
+def masked_minmax(x: jax.Array, mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    big = jnp.asarray(jnp.inf, dtype=x.dtype)
+    lo = jnp.min(jnp.where(mask, x, big))
+    hi = jnp.max(jnp.where(mask, x, -big))
+    return lo, hi
+
+
+@partial(jax.jit, static_argnames=("stride", "pmin", "pmax"))
+def strided_band_minmax(cube_hwb: jax.Array, nodata: float,
+                        stride: int = 64, pmin: float = 1.0,
+                        pmax: float = 99.0) -> Tuple[jax.Array, jax.Array]:
+    """Per-band robust (p1, p99) range on a strided sample, the OBS
+    scaling estimator (emit_proj.py:459-492). Returns (lo, hi) each (B,)."""
+    sample = cube_hwb[::stride, ::stride, :]
+    b = sample.shape[-1]
+    flat = sample.reshape(-1, b)
+    valid = jnp.isfinite(flat) & (flat != nodata)
+    xf = jnp.where(valid, flat, jnp.nan)
+    lo = jnp.nanpercentile(xf, pmin, axis=0)
+    hi = jnp.nanpercentile(xf, pmax, axis=0)
+    return lo, hi
+
+
+@partial(jax.jit, static_argnames=("nbins", "iters"))
+def histogram_percentile(x: jax.Array, mask: jax.Array, qs: jax.Array,
+                         nbins: int = 2048, iters: int = 2) -> jax.Array:
+    """Deterministic percentile via iterative histogram refinement —
+    fixed shapes, psum-compatible, ~(range/nbins**iters) accuracy. Each
+    requested percentile refines its own bracket independently (vmap)."""
+    valid = mask.ravel()
+    xf = x.ravel()
+    n = jnp.sum(valid)
+    glo = jnp.min(jnp.where(valid, xf, jnp.inf))
+    ghi = jnp.max(jnp.where(valid, xf, -jnp.inf))
+    weights = valid.astype(jnp.float32)
+
+    def one_q(q):
+        target = q / 100.0 * n
+
+        def refine(carry, _):
+            lo, hi = carry
+            width = jnp.maximum(hi - lo, 1e-30)
+            idx = jnp.clip(((xf - lo) / width * nbins).astype(jnp.int32),
+                           0, nbins - 1)
+            inside = (xf >= lo) & (xf <= hi)
+            hist = jnp.zeros((nbins,), dtype=jnp.float32).at[idx].add(
+                jnp.where(inside, weights, 0.0))
+            below = jnp.sum(jnp.where(xf < lo, weights, 0.0))
+            cdf = below + jnp.cumsum(hist)
+            b = jnp.clip(jnp.searchsorted(cdf, target), 0, nbins - 1)
+            return (lo + b / nbins * width,
+                    lo + (b + 1) / nbins * width), None
+
+        (lo, hi), _ = jax.lax.scan(refine, (glo, ghi), None, length=iters)
+        return (lo + hi) / 2.0
+
+    return jax.vmap(one_q)(qs.astype(jnp.float32))
+
+
+@jax.jit
+def shared_percentile_stretch(img: jax.Array, mask: jax.Array,
+                              pmin: float = 2.0, pmax: float = 98.0
+                              ) -> jax.Array:
+    """Per-channel percentile stretch within mask, clipped to [0, 1] —
+    apply_shared_percentile_stretch (color.py:25-34). img (H, W, C)."""
+    def one(channel):
+        lo, hi = masked_percentile(channel, mask, jnp.asarray([pmin, pmax]))
+        return jnp.clip((channel - lo) / (hi - lo + 1e-12), 0.0, 1.0)
+    return jnp.stack([one(img[..., c]) for c in range(img.shape[-1])],
+                     axis=-1).astype(jnp.float32)
+
+
+@jax.jit
+def robust_norm(x: jax.Array, pmin: float = 2.0, pmax: float = 98.0
+                ) -> jax.Array:
+    """Unmasked nan-aware stretch (color.py:6-8)."""
+    lo, hi = jnp.nanpercentile(x, jnp.asarray([pmin, pmax]))
+    return jnp.clip((x - lo) / (hi - lo + 1e-12), 0.0, 1.0)
+
+
+@jax.jit
+def robust_norm_rgb(img: jax.Array, mask: jax.Array,
+                    pmin: float = 2.0, pmax: float = 98.0) -> jax.Array:
+    """Per-channel stretch within mask; invalid pixels become NaN
+    (color.py:10-23)."""
+    def one(channel):
+        lo, hi = masked_percentile(channel, mask, jnp.asarray([pmin, pmax]))
+        cc = (channel - lo) / (hi - lo + 1e-12)
+        cc = jnp.where(mask, cc, jnp.nan)
+        return jnp.clip(cc, 0.0, 1.0)
+    return jnp.stack([one(img[..., c]) for c in range(img.shape[-1])],
+                     axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Quantization
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("nodata_u16",))
+def quantize_u16(x: jax.Array, lo: jax.Array, hi: jax.Array,
+                 valid: jax.Array, nodata_u16: int = 0) -> jax.Array:
+    """Scale [lo, hi] -> [0, 65535] uint16 with a nodata sentinel —
+    gdal_translate -scale semantics (emit_proj.py:413-427). lo/hi may be
+    scalars or per-band (B,) for (..., B) input."""
+    scaled = (x - lo) / (hi - lo + 1e-32) * 65535.0
+    q = jnp.clip(jnp.rint(scaled), 0.0, 65535.0).astype(jnp.uint16)
+    return jnp.where(valid, q, jnp.asarray(nodata_u16, dtype=jnp.uint16))
+
+
+@partial(jax.jit, static_argnames=("nodata_u16", "scale"))
+def quantize_reflectance_u16(x: jax.Array, valid: jax.Array,
+                             scale: float = 10000.0,
+                             nodata_u16: int = 65535) -> jax.Array:
+    """EMIT tile quantization: round(x * 10000), clipped to
+    [0, nodata-1], invalid -> nodata (tiles_helpers/utils.py:362-373)."""
+    q = jnp.clip(jnp.rint(x * scale), 0.0, float(nodata_u16 - 1))
+    q = q.astype(jnp.uint16)
+    return jnp.where(valid, q, jnp.asarray(nodata_u16, dtype=jnp.uint16))
+
+
+@jax.jit
+def dequantize_u16(q: jax.Array, scale: jax.Array, offset: jax.Array,
+                   nodata_u16: int, fill: float = jnp.nan) -> jax.Array:
+    """Inverse of quantize: true = raw * scale + offset
+    (emit_proj.py:432-455)."""
+    x = q.astype(jnp.float32) * scale + offset
+    return jnp.where(q == nodata_u16, jnp.asarray(fill, dtype=jnp.float32), x)
