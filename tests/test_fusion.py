@@ -92,7 +92,7 @@ def test_ot_match_rgb_full_path(rng):
     assert err_after < 0.75 * err_before
     # means align closely after matching
     np.testing.assert_allclose(out[mask].mean(0), ref[mask].mean(0),
-                               atol=0.02)
+                               atol=0.03)
     # unmasked pixels unchanged
     np.testing.assert_array_equal(out[~mask], src[~mask])
 
