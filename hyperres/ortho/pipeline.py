@@ -1,0 +1,345 @@
+"""EMIT granule -> analysis-ready S2-anchored cube (the ``nc_to_envi``
+equivalent, reference: EMIT_data/emit_proj.py:563-1356).
+
+TPU-native flow per product (DATA / LOC / OBS):
+1. host: open granule (framework HDF5 codec), GLT -> flat indices,
+2. device: one-op GLT gather of the full cube onto the geographic ortho
+   grid (no 32-band chunk loop — that was a host-RAM workaround),
+3. device: cubic warp onto the S2-anchored UTM 60 m grid (coordinate
+   field from the f64 CRS engine; _compute_te snap contract),
+4. host: ENVI + GeoTIFF + XML sidecar writes, with an ``info`` ledger
+   recording every stage, timing, and raster geometry (generalising the
+   reference's commands/outputs/rasters record, emit_proj.py:820-855).
+
+Idempotency contract preserved: existing outputs are skipped unless
+``overwrite`` (emit_proj.py:816-872).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import OrthoConfig
+from ..core.constants import NO_DATA_VALUE
+from ..core.grid import Grid, s2_anchored_target_grid
+from ..io import envi
+from ..io.granule import EmitGranule
+from ..io.tiff import TiffReader, write_geotiff
+from ..io.xml_sidecar import write_xml_sidecar
+from ..kernels.glt import glt_gather, prepare_glt
+from ..kernels.warp import resample_to_grid
+from . import products
+
+# EMIT L1B OBS band names (the 11 geometry bands,
+# reference: EMIT_data/emit_proj.py:29-115)
+OBS_BAND_NAMES = [
+    "Path length (sensor-to-ground in meters)",
+    "To-sensor azimuth (0 to 360 degrees CW from N)",
+    "To-sensor zenith (0 to 90 degrees from zenith)",
+    "To-sun azimuth (0 to 360 degrees CW from N)",
+    "To-sun zenith (0 to 90 degrees from zenith)",
+    "Solar phase (degrees between to-sensor and to-sun vectors)",
+    "Slope (local surface slope as derived from DEM in degrees)",
+    "Aspect (local surface aspect 0 to 360 degrees clockwise from N)",
+    "Cosine(i) (apparent local illumination factor)",
+    "UTC Time (decimal hours for mid-line pixels)",
+    "Earth-sun distance (AU)",
+]
+
+
+def raster_meta(grid: Grid, shape, dtype: str, nodata=None) -> Dict:
+    """Compact raster geometry record (emit_proj.py:281-306 analogue)."""
+    return {
+        "crs": str(grid.crs),
+        "transform": list(grid.geotransform),
+        "width": grid.width,
+        "height": grid.height,
+        "bounds": list(grid.bounds),
+        "shape": list(shape),
+        "dtype": str(dtype),
+        "nodata": nodata,
+    }
+
+
+@dataclass
+class OrthoResult:
+    data_envi_bin: Path
+    utm_grid: Grid
+    info: Dict = field(default_factory=dict)
+
+
+def _grid_from_s2_tif(s2_tif_path: Union[str, Path]) -> Grid:
+    with TiffReader(s2_tif_path) as r:
+        if r.grid is None:
+            raise ValueError(f"S2 template has no georeferencing: {s2_tif_path}")
+        return r.grid
+
+
+class _StageTimer:
+    def __init__(self, info: Dict):
+        self.info = info.setdefault("stages", {})
+
+    def record(self, name: str, t0: float, **extra):
+        rec = {"seconds": round(time.perf_counter() - t0, 6)}
+        rec.update(extra)
+        self.info[name] = rec
+
+
+def orthorectify_granule(
+    img_file: Union[str, Path],
+    out_dir: Union[str, Path],
+    s2_grid: Union[Grid, str, Path],
+    *,
+    obs_file: Union[str, Path, None] = None,
+    export_loc: bool = False,
+    config: OrthoConfig = OrthoConfig(),
+    tag: Optional[str] = None,
+    save_info_path: Union[str, Path, None] = None,
+) -> OrthoResult:
+    """Full DATA (+ optional LOC / OBS) ortho export onto the S2-anchored
+    UTM 60 m grid. Returns the main projected ENVI path + info ledger."""
+    cfg = config
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if not isinstance(s2_grid, Grid):
+        s2_grid = _grid_from_s2_tif(s2_grid)
+
+    img_path = Path(img_file)
+    if tag is None:
+        tag = img_path.stem.replace("EMIT_", "")
+
+    data_utm = out_dir / f"{tag}.bin"
+    data_hdr = data_utm.with_suffix(".hdr")
+    loc_utm = out_dir / f"{tag}_LOC.bin"
+    loc_hdr = loc_utm.with_suffix(".hdr")
+    obs_utm = out_dir / f"{tag}_OBS.bin"
+    obs_hdr = obs_utm.with_suffix(".hdr")
+
+    need_data = cfg.overwrite or not (data_utm.exists() and data_hdr.exists())
+    need_loc = export_loc and (cfg.overwrite
+                               or not (loc_utm.exists() and loc_hdr.exists()))
+    need_obs = (obs_file is not None) and (
+        cfg.overwrite or not (obs_utm.exists() and obs_hdr.exists()))
+
+    g = EmitGranule(img_path)
+    description = ("Radiance micro-watts/cm^2/nm/sr"
+                   if g.product == "L1B_RDN" else "Reflectance (unitless)")
+
+    info: Dict = {
+        "img_file": str(img_path),
+        "obs_file": str(obs_file) if obs_file else None,
+        "tag": tag,
+        "backend": "hyperres-hdf5",
+        "product": g.product,
+        "description": description,
+        "time": {"start": g.time_coverage_start, "end": g.time_coverage_end},
+        "out": {
+            "out_crs": str(s2_grid.crs),
+            "out_epsg": s2_grid.crs.epsg,
+            "pixel_size_m": [cfg.target_res_m, cfg.target_res_m],
+            "nodata": NO_DATA_VALUE,
+            "resampling": cfg.resampling,
+        },
+        "s2_align": {
+            "s2_grid_extent": list(s2_grid.bounds),
+            "s2_origin": [s2_grid.x0, s2_grid.y0],
+            "s2_transform": list(s2_grid.geotransform),
+            "emit_target_ps": [cfg.target_res_m, cfg.target_res_m],
+            "emit_anchor_mode": "s2_origin",
+        },
+        "outputs": {},
+        "rasters": {},
+    }
+    timer = _StageTimer(info)
+
+    if not (need_data or need_loc or need_obs):
+        info["outputs"]["data_envi_bin"] = str(data_utm)
+        info["outputs"]["data_envi_hdr"] = str(data_hdr)
+        if export_loc:
+            info["outputs"]["loc_envi_bin"] = str(loc_utm)
+        if obs_file is not None:
+            info["outputs"]["obs_envi_bin"] = str(obs_utm)
+        info["skipped"] = True
+        _save_info(info, save_info_path)
+        return OrthoResult(data_utm, s2_anchored_target_grid(
+            g.ortho_grid, s2_grid, cfg.target_res_m, cfg.target_res_m), info)
+
+    # --- GLT preparation (host) ---
+    t0 = time.perf_counter()
+    flat_idx, valid = prepare_glt(g.glt, (g.raw_height, g.raw_width))
+    glt0, valid2, diag = g.glt_indices()
+    info["glt_diag"] = {
+        "raw_shape_yx": list(diag.raw_shape_yx),
+        "valid_glt_count": diag.valid_count,
+        "valid_glt_inbounds_count": diag.in_bounds_count,
+        "valid_glt_dropped_oob": diag.dropped_oob,
+    }
+    flat_j = jnp.asarray(flat_idx)
+    valid_j = jnp.asarray(valid)
+    timer.record("glt_prep", t0)
+
+    # --- target UTM grid (the _compute_te contract) ---
+    utm_grid = s2_anchored_target_grid(g.ortho_grid, s2_grid,
+                                       cfg.target_res_m, cfg.target_res_m)
+
+    # geographic corner ring of the ortho grid (emit_proj.py:731-744)
+    og = g.ortho_grid
+    corners = [[og.x0, og.y0],
+               [og.x0 + og.width * og.dx, og.y0],
+               [og.x0 + og.width * og.dx, og.y0 - og.height * og.dy],
+               [og.x0, og.y0 - og.height * og.dy]]
+
+    def _export_product(cube_raw: np.ndarray, kind: str,
+                        envi_path: Path, hdr_extra: Dict) -> Tuple[np.ndarray, Grid]:
+        """gather -> warp -> ENVI write; returns the UTM cube."""
+        t = time.perf_counter()
+        ortho = glt_gather(jnp.asarray(cube_raw, jnp.float32), flat_j,
+                           valid_j, fill_value=NO_DATA_VALUE)
+        ortho.block_until_ready()
+        timer.record(f"{kind}_gather", t,
+                     shape=list(ortho.shape))
+        t = time.perf_counter()
+        utm = resample_to_grid(ortho, g.ortho_grid, utm_grid,
+                               method=cfg.resampling, nodata=NO_DATA_VALUE,
+                               fill=NO_DATA_VALUE)
+        timer.record(f"{kind}_warp", t, shape=list(utm.shape),
+                     resampling=cfg.resampling)
+        t = time.perf_counter()
+        envi.write_cube(
+            envi_path, utm.astype(np.float32), utm_grid,
+            interleave="bil", nodata=NO_DATA_VALUE,
+            extra_header=hdr_extra)
+        timer.record(f"{kind}_envi_write", t)
+        return utm, utm_grid
+
+    geotiff_dir = out_dir / "geotiff"
+    result_grid = utm_grid
+
+    # ===== DATA =====
+    if need_data:
+        raw = g.read_cube()
+        hdr_extra = {
+            "description": description,
+            "wavelength": [float(x) for x in g.wavelengths],
+            "wavelength units": "nanometers",
+            "sensor type": "EMIT",
+            "start acquisition time": g.time_coverage_start,
+            "end acquisition time": g.time_coverage_end,
+            "bounding box": [f"{c[0]:.8f} {c[1]:.8f}" for c in corners],
+        }
+        if g.fwhm is not None:
+            hdr_extra["fwhm"] = [float(x) for x in g.fwhm]
+        utm_cube, _ = _export_product(raw, "data", data_utm, hdr_extra)
+        info["outputs"]["data_envi_bin"] = str(data_utm)
+        info["outputs"]["data_envi_hdr"] = str(data_hdr)
+        info["rasters"]["data_envi"] = raster_meta(
+            utm_grid, utm_cube.shape, "float32", NO_DATA_VALUE)
+
+        if cfg.save_geotiffs:
+            geotiff_dir.mkdir(parents=True, exist_ok=True)
+            t = time.perf_counter()
+            utm_tif = geotiff_dir / f"{tag}_DATA_warp_utm.tif"
+            rec = products.export_reflectance_u16(utm_cube, utm_grid, utm_tif)
+            timer.record("data_utm_tif", t, **rec)
+            info["outputs"]["data_utm_tif"] = str(utm_tif)
+            info["rasters"]["data_utm_tif"] = raster_meta(
+                utm_grid, utm_cube.shape, "uint16", 65535)
+            # diagnostic single-band quicklook (emit_proj.py:989-1012)
+            t = time.perf_counter()
+            diag_dir = out_dir / "diag"
+            diag_dir.mkdir(parents=True, exist_ok=True)
+            diag_band = utm_cube.shape[-1] // 2
+            diag_tif = diag_dir / (
+                f"{tag}_DATA_diag_band{diag_band:03d}_warp_utm.tif")
+            products.export_reflectance_u16(
+                utm_cube[..., diag_band:diag_band + 1], utm_grid, diag_tif)
+            timer.record("data_diag_tif", t)
+            info["outputs"]["data_diag_utm_tif"] = str(diag_tif)
+
+        if cfg.write_xml:
+            write_xml_sidecar(
+                str(data_utm), product=g.product,
+                epsg_str=f"EPSG:{s2_grid.crs.epsg}",
+                crs_wkt=s2_grid.crs.to_wkt(),
+                pixel_size=(cfg.target_res_m, cfg.target_res_m),
+                shape=(utm_grid.height, utm_grid.width, g.n_bands),
+                start_time_utc=g.time_coverage_start or "",
+                end_time_utc=g.time_coverage_end or "",
+                bbox_lonlat=corners,
+                wavelengths=[float(x) for x in g.wavelengths],
+                fwhm=[float(x) for x in g.fwhm] if g.fwhm is not None else None,
+                description=description)
+            info["outputs"]["data_xml"] = str(data_utm.with_suffix(".xml"))
+
+    # ===== LOC =====
+    if need_loc:
+        lon = g.location("lon")
+        lat = g.location("lat")
+        elev = g.location("elev")
+        if lon is None or lat is None:
+            info["loc_skipped_reason"] = "granule has no location lon/lat"
+        else:
+            loc_raw = np.stack(
+                [lon, lat, elev if elev is not None else np.zeros_like(lon)],
+                axis=-1).astype(np.float32)
+            loc_cube, _ = _export_product(loc_raw, "loc", loc_utm, {
+                "description": "EMIT LOC (lon, lat, elev)",
+                "band names": ["longitude", "latitude", "elevation"],
+            })
+            info["outputs"]["loc_envi_bin"] = str(loc_utm)
+            info["rasters"]["loc_envi"] = raster_meta(
+                utm_grid, loc_cube.shape, "float32", NO_DATA_VALUE)
+            if cfg.save_geotiffs:
+                geotiff_dir.mkdir(parents=True, exist_ok=True)
+                loc_tif = geotiff_dir / f"{tag}_LOC_warp_utm.tif"
+                rec = products.export_loc_u16(
+                    loc_cube, utm_grid, loc_tif,
+                    lon_range=cfg.lon_range, lat_range=cfg.lat_range,
+                    elev_range=cfg.elev_range)
+                info["outputs"]["loc_utm_tif"] = str(loc_tif)
+                info["stages"]["loc_utm_tif"] = rec
+
+    # ===== OBS =====
+    if need_obs:
+        try:
+            obs_g = EmitGranule(obs_file)
+            obs_raw = obs_g.read_cube()
+            nb = obs_raw.shape[-1]
+            names = OBS_BAND_NAMES[:nb]
+            obs_cube, _ = _export_product(obs_raw, "obs", obs_utm, {
+                "description": "EMIT OBS geometry bands",
+                "band names": names,
+            })
+            info["outputs"]["obs_envi_bin"] = str(obs_utm)
+            info["rasters"]["obs_envi"] = raster_meta(
+                utm_grid, obs_cube.shape, "float32", NO_DATA_VALUE)
+            if cfg.save_geotiffs:
+                geotiff_dir.mkdir(parents=True, exist_ok=True)
+                obs_tif = geotiff_dir / f"{tag}_OBS_warp_utm.tif"
+                rec = products.export_obs_u16(
+                    obs_cube, utm_grid, obs_tif, band_names=names,
+                    sample_stride=cfg.obs_sample_stride,
+                    percentiles=cfg.obs_percentiles)
+                info["outputs"]["obs_utm_tif"] = str(obs_tif)
+                info["stages"]["obs_utm_tif"] = rec
+        except Exception as e:  # record-and-continue (emit_proj.py:1196-1201)
+            info["obs_error"] = str(e)
+
+    g.close()
+    _save_info(info, save_info_path)
+    return OrthoResult(data_utm, result_grid, info)
+
+
+def _save_info(info: Dict, save_info_path) -> None:
+    if save_info_path is not None:
+        p = Path(save_info_path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(info, indent=2, default=str))
+        info["saved_info_path"] = str(p)

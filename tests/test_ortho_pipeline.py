@@ -1,0 +1,132 @@
+import json
+
+import numpy as np
+import pytest
+
+from hyperres.core.config import OrthoConfig
+from hyperres.io import envi
+from hyperres.io.granule import EmitGranule, apply_glt
+from hyperres.io.tiff import TiffReader
+from hyperres.kernels.warp import resample_to_grid
+from hyperres.ortho import orthorectify_granule
+from hyperres.testing.scenes import make_scene, truth_reflectance
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    return make_scene(tmp_path_factory.mktemp("orthoscene"),
+                      raw_shape=(64, 72), n_bands=24, s2_size=300)
+
+
+@pytest.fixture(scope="module")
+def result(scene, tmp_path_factory):
+    out = tmp_path_factory.mktemp("ortho_out")
+    return orthorectify_granule(
+        scene.emit_nc_path, out, scene.s2_tif_path, export_loc=True,
+        config=OrthoConfig(),
+        save_info_path=out / "info.json"), out
+
+
+def test_outputs_exist(result):
+    res, out = result
+    assert res.data_envi_bin.exists()
+    assert res.data_envi_bin.with_suffix(".hdr").exists()
+    assert res.data_envi_bin.with_suffix(".xml").exists()
+    assert (out / "info.json").exists()
+    info = res.info
+    assert info["product"] == "L2A_RFL"
+    assert "data_utm_tif" in info["outputs"]
+    assert "loc_envi_bin" in info["outputs"]
+    assert info["glt_diag"]["valid_glt_dropped_oob"] == 0
+    # stage timings recorded
+    assert info["stages"]["data_gather"]["seconds"] >= 0
+
+
+def test_utm_grid_is_s2_anchored(result, scene):
+    res, _ = result
+    g = res.utm_grid
+    assert g.crs == scene.s2_grid.crs
+    assert g.dx == 60.0 and g.dy == 60.0
+    assert abs(((g.x0 - scene.s2_grid.x0) / 60.0) % 1.0) < 1e-9
+    assert abs(((scene.s2_grid.y0 - g.y0) / 60.0) % 1.0) < 1e-9
+    # info echoes the alignment contract
+    assert res.info["s2_align"]["emit_anchor_mode"] == "s2_origin"
+
+
+def test_envi_cube_matches_oracle_path(result, scene):
+    """The written UTM cube must equal gather(oracle) + warp(oracle) to
+    float32 tolerance."""
+    res, _ = result
+    r = envi.EnviReader(res.data_envi_bin.with_suffix(".hdr"))
+    got = r.read()
+    assert r.grid == res.utm_grid
+    assert r.nodata == -9999.0
+
+    with EmitGranule(scene.emit_nc_path) as g:
+        raw = g.read_cube()
+        ortho_oracle = apply_glt(raw, g.glt)  # reference-semantics gather
+        utm_oracle = resample_to_grid(
+            ortho_oracle, g.ortho_grid, res.utm_grid, method="cubic",
+            nodata=-9999.0, fill=-9999.0)
+    np.testing.assert_allclose(got, utm_oracle, rtol=0, atol=1e-5)
+
+
+def test_utm_cube_close_to_world_truth(result, scene):
+    """End-to-end geometric check: the projected cube must agree with the
+    analytic world at UTM pixel centres (away from swath edges)."""
+    res, _ = result
+    r = envi.EnviReader(res.data_envi_bin.with_suffix(".hdr"))
+    cube = r.read()
+    grid = res.utm_grid
+    xs, ys = grid.pixel_center_coords()
+    X, Y = np.meshgrid(xs, ys)
+    truth = truth_reflectance(X, Y, scene.spectra, seed=0)
+    valid = cube[..., 0] != -9999.0
+    # erode edges: only compare pixels whose 3x3 neighbourhood is valid
+    from scipy.ndimage import binary_erosion
+    interior = binary_erosion(valid, iterations=2)
+    assert interior.sum() > 50
+    err = np.abs(cube[interior] - truth[interior])
+    # nearest-GLT + cubic interp on a 60 m grid of a smooth world:
+    # expect small error (world curvature over 60 m + noise 0.002)
+    assert np.median(err) < 0.02
+    assert err.mean() < 0.03
+
+
+def test_geotiff_export_decodes_back(result):
+    res, _ = result
+    tif = res.info["outputs"]["data_utm_tif"]
+    with TiffReader(tif) as t:
+        q = t.read()
+        assert q.dtype == np.uint16
+        assert t.nodata == 65535
+        assert t.dataset_tags["scale_factor"] == "0.0001"
+    r = envi.EnviReader(res.data_envi_bin.with_suffix(".hdr"))
+    cube = r.read()
+    valid = cube != -9999.0
+    decoded = q.astype(np.float32) * 1e-4
+    decoded = np.moveaxis(decoded, 0, -1)
+    np.testing.assert_allclose(decoded[valid], cube[valid], atol=6e-5)
+
+
+def test_idempotent_skip(result, scene, tmp_path):
+    res, out = result
+    res2 = orthorectify_granule(
+        scene.emit_nc_path, out, scene.s2_tif_path,
+        config=OrthoConfig())
+    assert res2.info.get("skipped") is True
+    assert res2.data_envi_bin == res.data_envi_bin
+
+
+def test_loc_geotiff_decode_roundtrip(result, scene):
+    res, _ = result
+    loc_tif = res.info["outputs"]["loc_utm_tif"]
+    with TiffReader(loc_tif) as t:
+        q = t.read()
+        scale0 = float(t.band_tags[0]["scale"])
+        off0 = float(t.band_tags[0]["offset"])
+        lon = q[0].astype(np.float64) * scale0 + off0
+    # decoded longitudes must sit in the scene's area (~13-16 E)
+    valid = q[0] != 0
+    assert valid.sum() > 100
+    assert 10.0 < lon[valid].mean() < 18.0
