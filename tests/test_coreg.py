@@ -1,0 +1,154 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hyperres.core.config import CoregConfig
+from hyperres.core.crs import CRS
+from hyperres.core.grid import Grid
+from hyperres.coreg import coregister_local, deshift, coregister_s2_to_emit
+from hyperres.kernels.phasecorr import estimate_shift, phase_correlate_batch
+
+
+def smooth_image(rng, h, w, scale=12):
+    """Band-limited random texture (correlatable)."""
+    f = rng.normal(size=(h // scale + 2, w // scale + 2))
+    import cv2
+    return cv2.resize(f, (w, h), interpolation=cv2.INTER_CUBIC).astype(
+        np.float32)
+
+
+def shift_image(img, dy, dx):
+    """tgt(r, c) = img(r - dy, c - dx) via cv2 subpixel warp."""
+    import cv2
+    h, w = img.shape
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_CUBIC,
+                          borderMode=cv2.BORDER_REFLECT)
+
+
+@pytest.mark.parametrize("dy,dx", [(3.0, -5.0), (0.0, 0.0), (-7.25, 2.5)])
+def test_phase_correlation_recovers_known_shift(rng, dy, dx):
+    img = smooth_image(rng, 256, 256)
+    tgt = shift_image(img, dy, dx)
+    got_dy, got_dx, rel = estimate_shift(img, tgt)
+    assert abs(got_dy - dy) < 0.25
+    assert abs(got_dx - dx) < 0.25
+    assert rel > 50.0
+
+
+def test_phase_correlation_batched(rng):
+    shifts = [(2.0, 3.0), (-4.0, 1.0), (8.0, -6.0)]
+    imgs = [smooth_image(rng, 128, 128) for _ in shifts]
+    refs = np.stack(imgs)
+    tgts = np.stack([shift_image(im, dy, dx)
+                     for im, (dy, dx) in zip(imgs, shifts)])
+    dy, dx, rel = phase_correlate_batch(jnp.asarray(refs), jnp.asarray(tgts))
+    for i, (sy, sx) in enumerate(shifts):
+        assert abs(float(dy[i]) - sy) < 0.3
+        assert abs(float(dx[i]) - sx) < 0.3
+
+
+def test_uncorrelated_windows_low_reliability(rng):
+    a = smooth_image(rng, 128, 128)
+    b = smooth_image(np.random.default_rng(99), 128, 128)
+    _, _, rel = estimate_shift(a, b)
+    a2 = shift_image(a, 2, 2)
+    _, _, rel_good = estimate_shift(a, a2)
+    assert rel_good > rel + 10.0
+
+
+def test_coregister_local_and_deshift_recover_alignment(rng):
+    img = smooth_image(rng, 600, 640, scale=16)
+    dy, dx = 4.5, -3.25
+    tgt = shift_image(img, dy, dx)
+    cfg = CoregConfig(window_size=(256, 256), grid_res=150, max_points=20,
+                      min_reliability=40)
+    res = coregister_local(img, tgt, config=cfg)
+    assert res.success
+    assert abs(res.mean_shift_px[0] - dy) < 0.3
+    assert abs(res.mean_shift_px[1] - dx) < 0.3
+    fixed = deshift(tgt[None], res)[0]
+    # interior alignment error tiny after deshift
+    inner = (slice(40, -40), slice(40, -40))
+    err_before = np.abs(tgt[inner] - img[inner]).mean()
+    err_after = np.abs(fixed[inner] - img[inner]).mean()
+    assert err_after < 0.15 * err_before
+
+
+def test_coregister_tie_point_filtering(rng):
+    img = smooth_image(rng, 500, 500, scale=16)
+    tgt = shift_image(img, 2.0, 2.0)
+    # corrupt one region so its tie point becomes an outlier/unreliable
+    tgt[:160, :160] = rng.normal(size=(160, 160))
+    cfg = CoregConfig(window_size=(128, 128), grid_res=120, max_points=30,
+                      min_reliability=45, tie_point_filter_level=3)
+    res = coregister_local(img, tgt, config=cfg)
+    assert res.success
+    rejected = [t for t in res.tie_points if not t.used]
+    assert len(rejected) >= 1
+    assert abs(res.mean_shift_px[0] - 2.0) < 0.4
+
+
+def test_granule_coreg_end_to_end(tmp_path, rng):
+    """Full driver: EMIT ref tif + shifted S2 tif -> coregistered S2."""
+    from hyperres.io.tiff import write_geotiff, TiffReader
+    from hyperres.io.hdf5 import HDF5Writer
+
+    utm = CRS.utm(33, True)
+    h = w = 480
+    base = smooth_image(rng, h, w, scale=10)
+    base = (base - base.min()) / (np.ptp(base) + 1e-6)
+
+    s2_grid = Grid(utm, 500000.0, 5800000.0, 10.0, 10.0, w, h)
+    dy, dx = 3.0, -2.0
+    s2_band = shift_image(base, dy, dx)
+    s2_stack = np.stack([s2_band, s2_band * 0.9])
+    write_geotiff(tmp_path / "s2.tif", (s2_stack * 10000).astype(np.uint16),
+                  s2_grid, nodata=0,
+                  descriptions=["B08_nir", "B04_red"])
+
+    # EMIT "ref" at 60 m on the same area: downsample base
+    emit_grid = Grid(utm, 500000.0, 5800000.0, 60.0, 60.0, w // 6, h // 6)
+    emit_band = base.reshape(h // 6, 6, w // 6, 6).mean(axis=(1, 3))
+    # 3 bands mirroring the 3 wavelengths; band 3 (842 nm) is the match
+    emit_cube = np.stack([emit_band * 0.7, emit_band * 0.85, emit_band])
+    write_geotiff(tmp_path / "emit.tif",
+                  (emit_cube * 10000).astype(np.uint16), emit_grid,
+                  nodata=65535)
+
+    # minimal EMIT granule nc for the wavelength lookup
+    wgr = HDF5Writer(tmp_path / "emit.nc")
+    wgr.create_dataset("/reflectance",
+                       np.zeros((4, 4, 3), dtype=np.float32))
+    wgr.create_group("/sensor_band_parameters")
+    wgr.create_dataset("/sensor_band_parameters/wavelengths",
+                       np.array([490.0, 665.0, 842.0], dtype=np.float32),
+                       attrs={"units": "nanometers"})
+    wgr.create_group("/location")
+    wgr.create_dataset("/location/glt_x", np.ones((4, 4)))
+    wgr.create_dataset("/location/glt_y", np.ones((4, 4)))
+    wgr.set_attrs("/", geotransform=np.array(
+        [0.0, 1.0, 0.0, 0.0, 0.0, -1.0]))
+    wgr.save()
+
+    out = coregister_s2_to_emit(
+        emit_ref_tif=tmp_path / "emit.tif",
+        s2_tgt_tif=tmp_path / "s2.tif",
+        emit_nc_path=tmp_path / "emit.nc",
+        out_s2_tif=tmp_path / "s2_coreg.tif",
+        config=CoregConfig(window_size=(256, 256), grid_res=120,
+                           max_points=16, min_reliability=30),
+        nodata_emit=65535, nodata_s2=0)
+    assert out["final"]["success"], out
+    assert out["final"]["s2_code"] == "B08"
+    assert out["final"]["emit_match_wl_nm"] == 842.0
+    # recovered shift ~ (dy, dx)
+    mdy, mdx = out["final"]["mean_shift_px"]
+    assert abs(mdy - dy) < 0.6 and abs(mdx - dx) < 0.6
+
+    with TiffReader(tmp_path / "s2_coreg.tif") as t:
+        fixed = t.read().astype(np.float32) / 10000.0
+    inner = (slice(40, -40), slice(40, -40))
+    err_before = np.abs(s2_band[inner] - base[inner]).mean()
+    err_after = np.abs(fixed[0][inner] - base[inner]).mean()
+    assert err_after < 0.3 * err_before
