@@ -1,0 +1,14 @@
+from .mesh import make_mesh, shard_batch
+from .ops import (
+    sharded_histogram_percentile,
+    data_parallel_ridge_fit,
+    sharded_tile_map,
+    halo_exchange_rows,
+    sharded_srf_synthesize,
+)
+
+__all__ = [
+    "make_mesh", "shard_batch",
+    "sharded_histogram_percentile", "data_parallel_ridge_fit",
+    "sharded_tile_map", "halo_exchange_rows", "sharded_srf_synthesize",
+]

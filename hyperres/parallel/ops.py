@@ -1,0 +1,197 @@
+"""Sharded collective operations (shard_map + XLA collectives).
+
+The multi-chip counterparts of the single-chip kernels, per SURVEY.md
+section 2.8:
+- distributed percentiles via histogram + psum (the shared stretch
+  color.py:25-34 and robust min/max emit_proj.py:459-492 across shards),
+- data-parallel ridge training via psum of Gram terms (the spectral-SR
+  fit over tile shards),
+- sharded tile map (pjit over the tile axis — the tile loop
+  tiles_helpers/utils.py:266-301 across chips),
+- halo exchange over spatially sharded rasters via ppermute (cubic
+  needs a 2-px halo, bilinear 1-px),
+- band-sharded SRF synthesis (the 285-band axis sharded, partial
+  matmuls psum-reduced) — the multi-chip form of the 32-band chunk loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..fusion.ridge_sr import RidgeSpectralSR, RidgeSRParams
+from ..kernels.lstsq import logit
+
+
+# ---------------------------------------------------------------------------
+# Distributed percentile (histogram + psum)
+# ---------------------------------------------------------------------------
+
+def sharded_histogram_percentile(x, mask, qs, mesh: Mesh,
+                                 axis: str = "data", nbins: int = 2048,
+                                 iters: int = 2):
+    """Percentiles of the masked global distribution of ``x`` whose
+    leading dim is sharded over ``axis``. Deterministic, fixed-shape:
+    per-shard histograms are psum-reduced each refinement round."""
+    qs = jnp.asarray(qs, dtype=jnp.float32)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P()),
+             out_specs=P())
+    def run(x_s, m_s, qs_s):
+        xf = x_s.ravel()
+        valid = m_s.ravel()
+        w = valid.astype(jnp.float32)
+        n = jax.lax.psum(jnp.sum(w), axis)
+        glo = jax.lax.pmin(jnp.min(jnp.where(valid, xf, jnp.inf)), axis)
+        ghi = jax.lax.pmax(jnp.max(jnp.where(valid, xf, -jnp.inf)), axis)
+
+        def one_q(q):
+            target = q / 100.0 * n
+
+            def refine(carry, _):
+                lo, hi = carry
+                width = jnp.maximum(hi - lo, 1e-30)
+                idx = jnp.clip(((xf - lo) / width * nbins).astype(jnp.int32),
+                               0, nbins - 1)
+                inside = (xf >= lo) & (xf <= hi)
+                hist = jnp.zeros((nbins,), jnp.float32).at[idx].add(
+                    jnp.where(inside, w, 0.0))
+                hist = jax.lax.psum(hist, axis)
+                below = jax.lax.psum(
+                    jnp.sum(jnp.where(xf < lo, w, 0.0)), axis)
+                cdf = below + jnp.cumsum(hist)
+                b = jnp.clip(jnp.searchsorted(cdf, target), 0, nbins - 1)
+                return (lo + b / nbins * width,
+                        lo + (b + 1) / nbins * width), None
+
+            (lo, hi), _ = jax.lax.scan(refine, (glo, ghi), None,
+                                       length=iters)
+            return (lo + hi) / 2.0
+
+        return jax.vmap(one_q)(qs_s)
+
+    return run(x, mask, qs)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel ridge spectral-SR training step
+# ---------------------------------------------------------------------------
+
+def data_parallel_ridge_fit(model: RidgeSpectralSR, X, Y, mesh: Mesh,
+                            axis: str = "data",
+                            weights=None) -> RidgeSRParams:
+    """One data-parallel training step of the spectral-SR model: each
+    shard of (N, Bx)/(N, By) computes its Gram contribution; psum
+    assembles the global system; every chip solves the (small) replicated
+    system. N must divide the mesh axis size."""
+    if weights is None:
+        weights = jnp.ones(X.shape[0], dtype=jnp.float32)
+
+    cfg = model.cfg
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(axis), P(axis)),
+             out_specs=P())
+    def step(X_s, Y_s, w_s):
+        wcol = w_s[:, None]
+        n = jax.lax.psum(jnp.sum(w_s), axis)
+        x_sum = jax.lax.psum(jnp.sum(X_s * wcol, axis=0), axis)
+        x_mean = x_sum / n
+        x_var = jax.lax.psum(
+            jnp.sum(wcol * (X_s - x_mean) ** 2, axis=0), axis) / n
+        x_std = jnp.sqrt(x_var) + 1e-12
+
+        Y_logit = logit(Y_s, eps=cfg.logit_eps)
+        Xs = (X_s - x_mean) / x_std
+        F = model.expand(Xs)
+        f_sum = jax.lax.psum(jnp.sum(F * wcol, axis=0), axis)
+        y_sum = jax.lax.psum(jnp.sum(Y_logit * wcol, axis=0), axis)
+        FtF = jax.lax.psum(
+            jnp.dot((F * wcol).T, F, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), axis)
+        FtY = jax.lax.psum(
+            jnp.dot((F * wcol).T, Y_logit,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST), axis)
+        W, intercept = RidgeSpectralSR._solve_from_gram(
+            n, f_sum, y_sum, FtF, FtY, cfg.alpha)
+        return RidgeSRParams(x_mean, x_std, W, intercept)
+
+    params = step(jnp.asarray(X, jnp.float32), jnp.asarray(Y, jnp.float32),
+                  jnp.asarray(weights, jnp.float32))
+    model.params = params
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Sharded tile map
+# ---------------------------------------------------------------------------
+
+def sharded_tile_map(fn: Callable, tiles, mesh: Mesh, axis: str = "data"):
+    """Apply a per-tile function over a (T, ...) tile stack sharded across
+    the mesh. ``fn`` maps one tile -> pytree of arrays; vmapped per shard.
+    T must be a multiple of the axis size (pad upstream)."""
+    spec_in = P(axis)
+
+    @partial(shard_map, mesh=mesh, in_specs=(spec_in,),
+             out_specs=spec_in)
+    def run(tile_shard):
+        return jax.vmap(fn)(tile_shard)
+
+    return run(tiles)
+
+
+# ---------------------------------------------------------------------------
+# Halo exchange (ppermute) for spatially sharded rasters
+# ---------------------------------------------------------------------------
+
+def halo_exchange_rows(x_shard: jax.Array, halo: int, axis: str):
+    """Inside shard_map: pad a row-sharded raster block (h, ...) with
+    ``halo`` rows from the neighbouring shards (edge-replicated at the
+    outer boundaries). Cubic resampling needs halo=2, bilinear halo=1."""
+    n = jax.lax.axis_size(axis)
+    i = jax.lax.axis_index(axis)
+    up = [(j, (j - 1) % n) for j in range(n)]     # send top rows upward
+    down = [(j, (j + 1) % n) for j in range(n)]   # send bottom rows downward
+
+    top_rows = x_shard[:halo]
+    bot_rows = x_shard[-halo:]
+    from_below = jax.lax.ppermute(top_rows, axis, perm=up)
+    from_above = jax.lax.ppermute(bot_rows, axis, perm=down)
+    # outer edges: replicate own border rows
+    from_above = jnp.where(i == 0, jnp.repeat(x_shard[:1], halo, axis=0),
+                           from_above)
+    from_below = jnp.where(i == n - 1,
+                           jnp.repeat(x_shard[-1:], halo, axis=0),
+                           from_below)
+    return jnp.concatenate([from_above, x_shard, from_below], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Band-sharded SRF synthesis
+# ---------------------------------------------------------------------------
+
+def sharded_srf_synthesize(cube_hwb, weights_bs, mesh: Mesh,
+                           axis: str = "band"):
+    """SRF matmul with the spectral axis sharded: each chip contracts its
+    band slice, psum assembles the (H, W, S) synthesis. The multi-chip
+    successor of the reference's 32-band chunk loop
+    (emit_proj.py:969-987). B must divide the axis size."""
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, axis), P(axis, None)),
+             out_specs=P())
+    def run(cube_s, w_s):
+        h, w, b = cube_s.shape
+        part = jnp.dot(cube_s.reshape(-1, b), w_s,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.psum(part.reshape(h, w, -1), axis)
+
+    return run(jnp.asarray(cube_hwb, jnp.float32),
+               jnp.asarray(weights_bs, jnp.float32))

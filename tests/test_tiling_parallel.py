@@ -1,0 +1,214 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hyperres.core.crs import CRS
+from hyperres.core.grid import Grid, Window
+from hyperres.io.tiff import TiffReader, write_geotiff
+from hyperres.tiling.tiles import (
+    find_valid_paired_tiles, is_black_mask, save_tile_pair,
+    write_emit_b32_tile,
+)
+from hyperres.parallel import (
+    make_mesh, shard_batch, sharded_histogram_percentile,
+    data_parallel_ridge_fit, sharded_tile_map, sharded_srf_synthesize,
+)
+
+
+# ---------------------------------------------------------------- tiling ---
+
+def reference_is_black(arr, nodata=None, masked_val=-0.01,
+                       nodata_atol=1e-3, zero_atol=1e-6):
+    """Oracle: tiles_helpers/utils.py:201-220 formula."""
+    if nodata is not None:
+        nodata_mask = np.all(np.isclose(arr, nodata, atol=nodata_atol), axis=0)
+    else:
+        nodata_mask = np.zeros(arr.shape[1:], dtype=bool)
+    masked_mask = np.all(np.isclose(arr, masked_val, atol=nodata_atol), axis=0)
+    zero_mask = np.all(np.abs(arr) < zero_atol, axis=0)
+    return nodata_mask | masked_mask | zero_mask
+
+
+def test_is_black_mask_matches_reference(rng):
+    arr = rng.random((4, 30, 40)).astype(np.float32)
+    arr[:, 2:5, 3:7] = -9999.0
+    arr[:, 10:12, :] = -0.01
+    arr[:, 20, 20] = 0.0
+    arr[0, 25, 25] = 0.0  # only one band zero -> not black
+    got = np.asarray(is_black_mask(jnp.asarray(arr), -9999.0))
+    want = reference_is_black(arr, -9999.0)
+    np.testing.assert_array_equal(got, want)
+
+
+def make_pair_files(tmp_path, rng, he=30, we=40, t=10, scale=6):
+    utm = CRS.utm(33, True)
+    emit_grid = Grid(utm, 0.0, 0.0, 60.0, 60.0, we, he)
+    s2_grid = Grid(utm, 0.0, 0.0, 10.0, 10.0, we * scale, he * scale)
+    emit = rng.random((5, he, we)).astype(np.float32) * 0.5 + 0.1
+    s2 = (rng.random((3, he * scale, we * scale)) * 8000 + 500).astype(
+        np.uint16)
+    # blacken one emit tile and one s2 tile region
+    emit[:, 0:t, 0:t] = -9999.0
+    s2[:, t * scale:2 * t * scale, 0:t * scale] = 0
+    ep = tmp_path / "emit.tif"
+    sp = tmp_path / "s2.tif"
+    write_geotiff(ep, emit, emit_grid, nodata=-9999.0,
+                  descriptions=[f"b{i}" for i in range(5)])
+    write_geotiff(sp, s2, s2_grid, nodata=0,
+                  descriptions=["B02_blue", "B03_green", "B04_red"])
+    return ep, sp, emit, s2
+
+
+def test_find_valid_paired_tiles(tmp_path, rng):
+    ep, sp, emit, s2 = make_pair_files(tmp_path, rng)
+    tiles = find_valid_paired_tiles(ep, sp, emit_tile_size=10, scale=6)
+    # grid is 3x4 = 12 tiles; tile (0,0) black in emit, tile (1,0) black
+    # in s2 -> 10 valid
+    assert len(tiles) == 10
+    wins = {(t["emit_window"].row_off, t["emit_window"].col_off)
+            for t in tiles}
+    assert (0, 0) not in wins
+    assert (10, 0) not in wins
+    for t in tiles:
+        assert t["emit_black_frac"] == 0.0
+        assert t["s2_window"].width == 60
+        assert t["idx"] == tiles.index(t)
+
+
+def test_find_valid_paired_tiles_max_tiles(tmp_path, rng):
+    ep, sp, *_ = make_pair_files(tmp_path, rng)
+    tiles = find_valid_paired_tiles(ep, sp, emit_tile_size=10, scale=6,
+                                    max_tiles=3)
+    assert len(tiles) == 3
+
+
+def test_save_tile_pair_roundtrip(tmp_path, rng):
+    ep, sp, emit, s2 = make_pair_files(tmp_path, rng)
+    tiles = find_valid_paired_tiles(ep, sp, emit_tile_size=10, scale=6)
+    eo, so = save_tile_pair(ep, sp, tiles[0], tmp_path / "tiles")
+    with TiffReader(eo) as r:
+        eq = r.read()
+        assert eq.dtype == np.uint16
+        assert r.nodata == 65535
+        w = tiles[0]["emit_window"]
+        want = np.clip(np.rint(emit[:, w.row_off:w.row_off + 10,
+                                    w.col_off:w.col_off + 10] * 10000),
+                       0, 65534).astype(np.uint16)
+        np.testing.assert_array_equal(eq, want)
+        # grid window georeferencing preserved
+        assert r.grid.dx == 60.0
+    with TiffReader(so) as r:
+        assert r.descriptions[0] == "B02_blue"
+        sq = r.read()
+        w = tiles[0]["s2_window"]
+        np.testing.assert_array_equal(
+            sq, s2[:, w.row_off:w.row_off + 60, w.col_off:w.col_off + 60])
+
+
+def test_write_emit_b32_tile(tmp_path, rng):
+    utm = CRS.utm(33, True)
+    g = Grid(utm, 0.0, 0.0, 60.0, 60.0, 20, 20)
+    cube = (rng.random((285, 20, 20)) * 10000).astype(np.uint16)
+    p = tmp_path / "tile_000_emit.tif"
+    write_geotiff(p, cube, g, nodata=65535)
+    out, idx = write_emit_b32_tile(p, num_keep=32)
+    assert out.name == "tile_000_emit_b32.tif"
+    assert len(idx) == 32
+    assert idx[0] == 0 and idx[-1] == 284
+    with TiffReader(out) as r:
+        np.testing.assert_array_equal(r.read(), cube[idx])
+
+
+# -------------------------------------------------------------- parallel ---
+
+def test_mesh_and_shard(eight_devices):
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    x = np.arange(64, dtype=np.float32).reshape(8, 8)
+    xs = shard_batch(x, mesh)
+    assert len(xs.sharding.device_set) == 8
+
+
+def test_sharded_histogram_percentile(eight_devices, rng):
+    mesh = make_mesh()
+    x = rng.normal(size=(8 * 5000,)).astype(np.float32)
+    mask = rng.random(8 * 5000) > 0.25
+    got = np.asarray(sharded_histogram_percentile(
+        jnp.asarray(x), jnp.asarray(mask), [2.0, 50.0, 98.0], mesh))
+    want = np.percentile(x[mask], [2, 50, 98])
+    span = x.max() - x.min()
+    assert np.all(np.abs(got - want) < span / 2048 * 2)
+
+
+def test_data_parallel_ridge_matches_single_device(eight_devices, rng):
+    from hyperres.core.config import RidgeSRConfig
+    from hyperres.fusion import RidgeSpectralSR
+
+    n, bx, by = 8 * 512, 4, 6
+    X = rng.random((n, bx)).astype(np.float32)
+    Y = np.clip(0.2 + 0.4 * X[:, :1] + 0.1 * rng.random((n, by)),
+                0.01, 0.99).astype(np.float32)
+    cfg = RidgeSRConfig(degree=2)
+
+    single = RidgeSpectralSR(bx, by, cfg).fit(X, Y)
+    multi = RidgeSpectralSR(bx, by, cfg)
+    mesh = make_mesh()
+    data_parallel_ridge_fit(multi, X, Y, mesh)
+
+    np.testing.assert_allclose(np.asarray(multi.params.W),
+                               np.asarray(single.params.W),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(multi.predict(X[:100]),
+                               single.predict(X[:100]), atol=1e-4)
+
+
+def test_sharded_tile_map(eight_devices, rng):
+    mesh = make_mesh()
+    tiles = rng.random((16, 12, 12)).astype(np.float32)
+
+    def per_tile(t):
+        return t.mean()
+
+    got = np.asarray(sharded_tile_map(per_tile, jnp.asarray(tiles), mesh))
+    np.testing.assert_allclose(got, tiles.mean(axis=(1, 2)), rtol=1e-5)
+
+
+def test_sharded_srf_synthesize_matches_single(eight_devices, rng):
+    from hyperres.kernels.srf import build_srf_weight_matrix, srf_synthesize
+    from hyperres.spectral.srf_tables import builtin_srf
+    from hyperres.testing.scenes import emit_wavelength_grid
+
+    wl, good = emit_wavelength_grid(64)  # 64 bands / 8 devices
+    W, _, _ = build_srf_weight_matrix(wl, builtin_srf("S2A"), good)
+    cube = rng.random((24, 16, 64)).astype(np.float32)
+    mesh = make_mesh(axis_names=("band",))
+    got = np.asarray(sharded_srf_synthesize(cube, W, mesh))
+    want = np.asarray(srf_synthesize(jnp.asarray(cube), jnp.asarray(W)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def test_halo_exchange_rows(eight_devices):
+    from functools import partial
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from hyperres.parallel.ops import halo_exchange_rows
+
+    mesh = make_mesh(axis_names=("data",))
+    x = np.arange(64, dtype=np.float32).reshape(64, 1)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("data"),),
+             out_specs=P("data"))
+    def with_halo(xs):
+        return halo_exchange_rows(xs, halo=2, axis="data")
+
+    out = np.asarray(with_halo(jnp.asarray(x)))  # (8 shards * 12 rows, 1)
+    out = out.reshape(8, 12, 1)
+    # middle shard k holds rows [8k-2, 8k+10)
+    for k in range(1, 7):
+        np.testing.assert_array_equal(
+            out[k, :, 0], np.arange(8 * k - 2, 8 * k + 10, dtype=np.float32))
+    # first shard: top halo is replicated row 0
+    np.testing.assert_array_equal(out[0, :2, 0], [0.0, 0.0])
+    # last shard: bottom halo replicated row 63
+    np.testing.assert_array_equal(out[7, -2:, 0], [63.0, 63.0])
