@@ -1,0 +1,333 @@
+"""End-to-end EMIT x Sentinel-2 pipelines.
+
+The orchestration layer the reference keeps in notebooks
+(Pairs_EMIT_S2_demo-2.ipynb; SURVEY.md section 2.6), as library code:
+
+- ``fuse_pair``: the 4-phase fusion driver (demo cell 81) — SRF synth at
+  60 m, real-S2 downsample to the EMIT grid, shared stretch + OT+poly
+  fit, bilinear upsample + apply at 10 m;
+- ``run_pair_pipeline``: the full per-pair run — ortho to the
+  S2-anchored grid, crop to overlap, fusion, paired tiling, spectral-SR
+  training/eval/prediction, artifacts (report, metadata, manifest);
+- ``psnr`` / ``sam``: the parity metrics from BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+
+from .artifacts import (
+    ReportWriter, RunPaths, TileRecord, tif_geo_summary, write_manifest_csv,
+    write_tile_metadata,
+)
+from .core.config import (
+    OrthoConfig, PolyFusionConfig, RidgeSRConfig, TilingConfig,
+)
+from .core.constants import NO_DATA_VALUE
+from .core.grid import Grid
+from .fusion import RidgeSpectralSR, apply_poly, fit_ot_poly, flatten_pixels
+from .io import envi
+from .io.tiff import TiffReader, write_geotiff
+from .kernels.stats import shared_percentile_stretch
+from .kernels.warp import resample_to_grid
+from .ortho import orthorectify_granule
+from .spectral import builtin_srf, crop_to_overlap
+from .kernels.srf import build_srf_weight_matrix, srf_synthesize
+from .tiling import find_valid_paired_tiles, save_tile_pair, write_emit_b32_tile
+
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Metrics (the BASELINE.md parity measures)
+# ---------------------------------------------------------------------------
+
+def psnr(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    m = np.isfinite(a) & np.isfinite(b)
+    mse = np.mean((a[m] - b[m]) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(data_range ** 2 / mse))
+
+
+def sam(a: np.ndarray, b: np.ndarray) -> float:
+    """Mean spectral angle (radians) between (..., B) spectra."""
+    a = np.asarray(a, dtype=np.float64).reshape(-1, a.shape[-1])
+    b = np.asarray(b, dtype=np.float64).reshape(-1, b.shape[-1])
+    m = np.isfinite(a).all(1) & np.isfinite(b).all(1)
+    a, b = a[m], b[m]
+    num = (a * b).sum(1)
+    den = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1) + 1e-12
+    return float(np.mean(np.arccos(np.clip(num / den, -1.0, 1.0))))
+
+
+# ---------------------------------------------------------------------------
+# 4-phase OT+poly fusion (demo cell 81)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FusionResult:
+    fused_10m: np.ndarray          # (H10, W10, 3) in [0, 1]
+    matched_60m: np.ndarray        # (H60, W60, 3)
+    coeffs: np.ndarray             # (3, deg+1)
+    emit_grid_60m: Grid
+    s2_grid_10m: Grid
+    info: Dict = field(default_factory=dict)
+
+
+def fuse_pair(
+    emit_cube_hwb: np.ndarray,
+    emit_wavelengths: np.ndarray,
+    emit_grid: Grid,
+    s2_stack_bhw: np.ndarray,
+    s2_grid: Grid,
+    *,
+    good_mask: Optional[np.ndarray] = None,
+    s2_rgb_band_idx: Tuple[int, int, int] = (0, 1, 2),  # B2, B3, B4 order
+    s2_scale: Optional[float] = None,
+    s2_nodata: Optional[float] = None,
+    config: PolyFusionConfig = PolyFusionConfig(),
+    platform: str = "S2A",
+) -> FusionResult:
+    """The 4-phase fusion: returns the OT+poly-matched simulated S2 RGB at
+    10 m plus the 60 m view and the fitted coefficients."""
+    cfg = config
+    t0 = time.perf_counter()
+
+    # Phase 1: SRF synthesis of B2, B3, B4 at 60 m
+    srf = builtin_srf(platform, bands=["B2", "B3", "B4"])
+    W, names, _ = build_srf_weight_matrix(emit_wavelengths, srf, good_mask)
+    synth = np.asarray(srf_synthesize(
+        jnp.asarray(emit_cube_hwb, jnp.float32), jnp.asarray(W)))
+    emit_sim_60m = np.moveaxis(synth, -1, 0)  # (3=B2,B3,B4, H, W)
+    valid60 = np.isfinite(emit_sim_60m).all(axis=0) & (emit_sim_60m[0] > 0)
+    # pixels that are nodata in the source cube are invalid too
+    valid60 &= np.asarray(emit_cube_hwb[..., 0] != NO_DATA_VALUE)
+    t1 = time.perf_counter()
+
+    # Phase 2: real S2 RGB downsampled onto the EMIT grid (average)
+    s2_rgb = np.stack([s2_stack_bhw[i] for i in s2_rgb_band_idx]).astype(
+        np.float32)
+    if s2_scale is not None:
+        s2_rgb = s2_rgb * float(s2_scale)
+    s2_hwb = np.moveaxis(s2_rgb, 0, -1)
+    s2_60 = resample_to_grid(s2_hwb, s2_grid, emit_grid, method="average",
+                             nodata=s2_nodata, fill=np.nan)
+    s2_real_60m = np.moveaxis(s2_60, -1, 0)
+    valid60 = valid60 & np.isfinite(s2_real_60m).all(axis=0)
+    t2 = time.perf_counter()
+
+    # Phase 3: shared stretch + OT + per-channel polynomial fit at 60 m.
+    # RGB display order is (B4, B3, B2) (demo cell 81).
+    emit_rgb_60m = np.moveaxis(emit_sim_60m[[2, 1, 0]], 0, -1)
+    s2_rgb_60m = np.moveaxis(s2_real_60m[[2, 1, 0]], 0, -1)
+    emit_rgb_n = np.asarray(shared_percentile_stretch(
+        jnp.asarray(emit_rgb_60m), jnp.asarray(valid60),
+        cfg.stretch_percentiles[0], cfg.stretch_percentiles[1]))
+    s2_rgb_n = np.asarray(shared_percentile_stretch(
+        jnp.asarray(s2_rgb_60m), jnp.asarray(valid60),
+        cfg.stretch_percentiles[0], cfg.stretch_percentiles[1]))
+    coeffs = fit_ot_poly(emit_rgb_n, s2_rgb_n, valid60, deg=cfg.degree,
+                         cfg=cfg.ot, min_pixels=cfg.min_pixels)
+    matched_60m = apply_poly(emit_rgb_n, coeffs, mask=valid60)
+    t3 = time.perf_counter()
+
+    # Phase 4: upsample the stretched sim bands to 10 m, apply the same
+    # polynomial there
+    sim10 = resample_to_grid(emit_rgb_n, emit_grid, s2_grid,
+                             method="bilinear", nodata=None, fill=np.nan)
+    mask10 = np.isfinite(sim10).all(axis=-1)
+    fused_10m = apply_poly(np.nan_to_num(sim10), coeffs, mask=mask10)
+    fused_10m[~mask10] = np.nan
+    t4 = time.perf_counter()
+
+    return FusionResult(
+        fused_10m=fused_10m,
+        matched_60m=matched_60m,
+        coeffs=coeffs,
+        emit_grid_60m=emit_grid,
+        s2_grid_10m=s2_grid,
+        info={
+            "stages": {
+                "srf_synth_s": round(t1 - t0, 4),
+                "s2_downsample_s": round(t2 - t1, 4),
+                "ot_poly_fit_s": round(t3 - t2, 4),
+                "upsample_apply_s": round(t4 - t3, 4),
+            },
+            "n_valid_60m": int(valid60.sum()),
+            "degree": cfg.degree,
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full per-pair pipeline (demo notebook end-to-end)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PairRunResult:
+    run: RunPaths
+    ortho_info: Dict
+    fusion: FusionResult
+    fused_tif: Path
+    tiles: List[Dict]
+    tile_records: List[TileRecord]
+    sr_metrics: Optional[Dict]
+    report_path: Path
+    info: Dict = field(default_factory=dict)
+
+
+def run_pair_pipeline(
+    emit_nc_path: Union[str, Path],
+    s2_stack_tif: Union[str, Path],
+    out_root: Union[str, Path],
+    *,
+    ortho_config: OrthoConfig = OrthoConfig(),
+    fusion_config: PolyFusionConfig = PolyFusionConfig(),
+    tiling_config: TilingConfig = TilingConfig(),
+    sr_config: Optional[RidgeSRConfig] = RidgeSRConfig(),
+    s2_scale: float = 1e-4,
+    max_tiles: Optional[int] = None,
+    train_sr: bool = True,
+) -> PairRunResult:
+    """Full pairs pipeline on local inputs: ortho -> overlap crop ->
+    OT+poly fusion -> paired tiling -> spectral-SR train/eval."""
+    t_start = time.perf_counter()
+    run = RunPaths.build(emit_nc=emit_nc_path, local_root=out_root)
+    report = ReportWriter(run.local_report_md).start()
+
+    # 1. orthorectify onto the S2-anchored 60 m grid
+    ortho_res = orthorectify_granule(
+        emit_nc_path, run.local_emit_utm, s2_stack_tif,
+        config=ortho_config,
+        save_info_path=run.local_meta / "ortho_info.json")
+    report.section("Orthorectification", [
+        f"product: {ortho_res.info.get('product')}",
+        f"UTM grid: {ortho_res.utm_grid.width}x{ortho_res.utm_grid.height}"
+        f" @ {ortho_res.utm_grid.dx} m",
+        f"outputs: {list(ortho_res.info.get('outputs', {}))}",
+    ])
+
+    # 2. crop both to the overlap
+    emit_utm_tif = ortho_res.info["outputs"].get("data_utm_tif")
+    if emit_utm_tif is None:
+        raise ValueError("ortho run produced no data_utm_tif "
+                         "(save_geotiffs disabled?)")
+    s2_overlap = run.local_s2 / "s2_overlap.tif"
+    emit_overlap = run.local_emit / "emit_overlap.tif"
+    crop_to_overlap(s2_stack_tif, emit_utm_tif, s2_overlap, emit_overlap)
+
+    # 3. fusion on the overlap
+    r = envi.EnviReader(ortho_res.data_envi_bin.with_suffix(".hdr"))
+    emit_cube = r.read().astype(np.float32)
+    emit_grid = r.grid
+    wl = r.wavelengths
+    with TiffReader(s2_overlap) as t:
+        s2_stack = t.read().astype(np.float32)
+        s2_grid_c = t.grid
+        s2_nodata = t.nodata
+        descs = t.descriptions
+    code_idx = {str(d).split("_")[0]: i for i, d in enumerate(descs) if d}
+    rgb_idx = (code_idx.get("B02", 0), code_idx.get("B03", 1),
+               code_idx.get("B04", 2))
+    fusion = fuse_pair(
+        emit_cube, wl, emit_grid, s2_stack, s2_grid_c,
+        s2_rgb_band_idx=rgb_idx, s2_scale=s2_scale, s2_nodata=s2_nodata,
+        config=fusion_config)
+    fused_tif = run.local_root / "fused_rgb_10m.tif"
+    write_geotiff(fused_tif,
+                  np.moveaxis(np.nan_to_num(fusion.fused_10m,
+                                            nan=NO_DATA_VALUE), -1, 0),
+                  s2_grid_c, nodata=NO_DATA_VALUE,
+                  descriptions=["B04_matched", "B03_matched", "B02_matched"])
+    report.section("Fusion (OT + poly)", [
+        f"valid 60 m pixels: {fusion.info['n_valid_60m']}",
+        f"poly degree: {fusion.info['degree']}",
+        f"stage seconds: {fusion.info['stages']}",
+        f"fused: {fused_tif.name}",
+    ])
+
+    # 4. paired tiling
+    tiles = find_valid_paired_tiles(
+        emit_overlap, s2_overlap,
+        emit_tile_size=tiling_config.emit_tile_size,
+        scale=tiling_config.scale,
+        max_black_frac=tiling_config.max_black_frac,
+        max_tiles=max_tiles if max_tiles is not None
+        else tiling_config.max_tiles)
+    records: List[TileRecord] = []
+    for t_info in tiles:
+        eo, so = save_tile_pair(emit_overlap, s2_overlap, t_info,
+                                run.local_tiles,
+                                emit_scale=tiling_config.emit_u16_scale,
+                                emit_nodata_u16=tiling_config.emit_u16_nodata)
+        b32, b32_idx = write_emit_b32_tile(
+            eo, num_keep=min(tiling_config.b32_keep,
+                             emit_cube.shape[-1]))
+        rec = TileRecord(
+            idx=t_info["idx"], emit_tif=str(eo), s2_tif=str(so),
+            emit_black_frac=t_info["emit_black_frac"],
+            s2_black_frac=t_info["s2_black_frac"],
+            emit_geo=tif_geo_summary(eo), s2_geo=tif_geo_summary(so),
+            emit_window=vars(t_info["emit_window"]),
+            s2_window=vars(t_info["s2_window"]),
+            emit_b32_tif=str(b32),
+            emit_b32_indices_0based=[int(i) for i in b32_idx])
+        write_tile_metadata(rec, {k: str(v) for k, v in t_info.items()},
+                            run.local_tile_meta,
+                            emit_granule=Path(emit_nc_path).stem)
+        records.append(rec)
+    write_manifest_csv(run.local_manifest_csv, records)
+    report.section("Tiles", [
+        f"valid tiles: {len(tiles)}",
+        f"tile size: {tiling_config.emit_tile_size} @60 m "
+        f"(x{tiling_config.scale} at 10 m)",
+        f"manifest: {run.local_manifest_csv.name}",
+    ])
+
+    # 5. spectral super-resolution model on the overlap
+    sr_metrics = None
+    if train_sr and sr_config is not None:
+        from .core.cube import subsample_bands_evenly
+        n_keep = min(sr_config.n_emit_bands, emit_cube.shape[-1])
+        band_idx = subsample_bands_evenly(emit_cube.shape[-1], n_keep)
+        emit32 = np.moveaxis(emit_cube[..., band_idx], -1, 0)
+        s2_on_60 = resample_to_grid(
+            np.moveaxis(s2_stack, 0, -1) * s2_scale, s2_grid_c, emit_grid,
+            method="bilinear", nodata=(s2_nodata * s2_scale
+                                       if s2_nodata is not None else None),
+            fill=np.nan)
+        s2_60_bhw = np.moveaxis(s2_on_60, -1, 0)
+        X, Y = flatten_pixels(s2_60_bhw, emit32, y_nodata=NO_DATA_VALUE)
+        if X.shape[0] >= 100:
+            model = RidgeSpectralSR(X.shape[1], Y.shape[1], sr_config)
+            model.fit(X, np.clip(Y, 1e-4, 1 - 1e-4))
+            r2, rmse = model.evaluate(X, Y)
+            sr_metrics = {
+                "r2_per_band": [float(v) for v in r2],
+                "rmse_per_band": [float(v) for v in rmse],
+                "r2_mean": float(np.mean(r2)),
+                "rmse_mean": float(np.mean(rmse)),
+                "n_train_pixels": int(X.shape[0]),
+                "band_indices": [int(i) for i in band_idx],
+            }
+            report.section("Spectral SR (ridge)", [
+                f"train pixels: {sr_metrics['n_train_pixels']}",
+                f"mean R2: {sr_metrics['r2_mean']:.4f}",
+                f"mean RMSE: {sr_metrics['rmse_mean']:.5f}",
+            ])
+
+    total_s = time.perf_counter() - t_start
+    report.section("Timing", [f"total seconds: {total_s:.3f}"])
+    return PairRunResult(
+        run=run, ortho_info=ortho_res.info, fusion=fusion,
+        fused_tif=fused_tif, tiles=tiles, tile_records=records,
+        sr_metrics=sr_metrics, report_path=run.local_report_md,
+        info={"total_seconds": total_s})

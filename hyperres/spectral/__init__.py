@@ -1,0 +1,17 @@
+from .srf_tables import (
+    builtin_srf, load_srf, load_srf_from_xlsx, band_resolution_m,
+    S2A_BAND_TABLE, S2B_BAND_TABLE, S2_BOX_TABLE,
+)
+from .synth import (
+    crop_to_overlap, downsample_s2_to_grid, reproject_stack_to_grid,
+    make_grid_template_from_raster, pseudo_s2_from_envi,
+    pseudo_s2_srf_integral, pseudo_s2_rgb,
+)
+
+__all__ = [
+    "builtin_srf", "load_srf", "load_srf_from_xlsx", "band_resolution_m",
+    "S2A_BAND_TABLE", "S2B_BAND_TABLE", "S2_BOX_TABLE",
+    "crop_to_overlap", "downsample_s2_to_grid", "reproject_stack_to_grid",
+    "make_grid_template_from_raster", "pseudo_s2_from_envi",
+    "pseudo_s2_srf_integral", "pseudo_s2_rgb",
+]
