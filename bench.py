@@ -1,0 +1,242 @@
+"""Benchmark: full EMIT granule ortho + SRF synthesis + OT/poly fusion
+to 10 m on one chip — the BASELINE.md north-star workload
+("full granule ortho + SRF synth + fusion to 10 m < 2 s, 1x TPU v5e").
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+value is the end-to-end device pipeline wall-clock (after compilation)
+and vs_baseline = north_star_seconds / value (>1 means faster than the
+2 s target).
+
+Scene: synthetic full-granule scale (raw 1242x1280x285, the implied real
+EMIT granule size, SURVEY.md section 6) generated in memory. Stages
+timed (all device, one warm-up iteration for compile):
+  1. GLT gather of the 285-band cube onto the geographic ortho grid,
+  2. cubic warp onto the S2-anchored UTM 60 m grid (2-step like the
+     reference's gdalwarp path),
+  3. SRF band synthesis (B2/B3/B4) as the trapz-weight matmul,
+  4. shared percentile stretch + Sinkhorn OT (5000x5000, reg 0.05) +
+     degree-4 polynomial fit,
+  5. bilinear upsample of the matched bands to the 10 m grid + polyval.
+
+Environment knobs: HYPERRES_BENCH_SCALE (default 1.0) scales the raw
+granule dims for quick smoke runs.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    t_setup0 = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+
+    from hyperres.core.config import OTConfig
+    from hyperres.core.grid import s2_anchored_target_grid
+    from hyperres.fusion.sampling import sample_valid_pixels_device
+    from hyperres.kernels.glt import glt_gather, prepare_glt
+    from hyperres.kernels.lstsq import polyfit, polyval_channels
+    from hyperres.kernels.sinkhorn import ot_barycentric_targets
+    from hyperres.kernels.srf import build_srf_weight_matrix, srf_synthesize
+    from hyperres.kernels.stats import shared_percentile_stretch
+    from hyperres.kernels.warp import (
+        _broadcast_axes, separable_index_axes, source_index_field,
+        warp_interpolate, warp_interpolate_chunked,
+    )
+    from hyperres.spectral import builtin_srf
+    from hyperres.testing import scenes
+
+    scale = float(os.environ.get("HYPERRES_BENCH_SCALE", "1.0"))
+    raw_h = max(64, int(1242 * scale))
+    raw_w = max(64, int(1280 * scale))
+    n_bands = 285
+    north_star_s = 2.0
+
+    devs = jax.devices()
+    log(f"devices: {devs}")
+
+    # ---------------- host: synthesize a full-scale scene ----------------
+    log(f"generating scene raw={raw_h}x{raw_w}x{n_bands} ...")
+    rng = np.random.default_rng(0)
+    wl, good = scenes.emit_wavelength_grid(n_bands)
+    spectra = scenes.endmember_spectra(wl)
+
+    from hyperres.core.crs import CRS
+    from hyperres.core.grid import Grid
+    utm = CRS.utm(33, True)
+    # swath geometry like the scene factory, sized to the raw dims
+    cx, cy = 450000.0, 5770000.0
+    th = np.radians(13.0)
+
+    rows, cols = np.meshgrid(np.arange(raw_h), np.arange(raw_w),
+                             indexing="ij")
+    u = (cols - raw_w / 2.0) * 60.0
+    v = -(rows - raw_h / 2.0) * 60.0
+    rx = cx + u * np.cos(th) - v * np.sin(th)
+    ry = cy + u * np.sin(th) + v * np.cos(th)
+    a = scenes.abundance_maps(rx, ry)
+    raw = np.clip(a @ spectra
+                  + rng.normal(scale=0.002, size=(raw_h, raw_w, n_bands)),
+                  0.005, 0.95).astype(np.float32)
+    del a
+
+    lon, lat = utm.to_geographic(rx, ry)
+    res_x = 60.0 / 111320.0 / np.cos(np.radians(float(lat.mean())))
+    res_y = 60.0 / 111320.0
+    lon0 = float(lon.min()) - res_x
+    lat0 = float(lat.max()) + res_y
+    ow = int(np.ceil((float(lon.max()) + res_x - lon0) / res_x))
+    oh = int(np.ceil((lat0 - (float(lat.min()) - res_y)) / res_y))
+    ortho_grid = Grid(CRS.geographic(), lon0, lat0, res_x, res_y, ow, oh)
+    log(f"ortho grid: {oh}x{ow}")
+
+    # GLT (1-based) for the ortho grid
+    oxs, oys = ortho_grid.pixel_center_coords()
+    olon, olat = np.meshgrid(oxs, oys)
+    oux, ouy = utm.from_geographic(olon, olat)
+    du = (oux - cx) * np.cos(th) + (ouy - cy) * np.sin(th)
+    dv = -(oux - cx) * np.sin(th) + (ouy - cy) * np.cos(th)
+    ci = np.round(du / 60.0 + raw_w / 2.0).astype(np.int64)
+    ri = np.round(-dv / 60.0 + raw_h / 2.0).astype(np.int64)
+    inside = (ri >= 0) & (ri < raw_h) & (ci >= 0) & (ci < raw_w)
+    glt = np.zeros((oh, ow, 2), dtype=np.int32)
+    glt[..., 0] = np.where(inside, ci + 1, 0)
+    glt[..., 1] = np.where(inside, ri + 1, 0)
+
+    # S2 grid covering the swath (10 m, origin on the 60 m lattice)
+    sw_l = float(oux.min())
+    sw_t = float(ouy.max())
+    s2_x0 = np.floor(sw_l / 60.0) * 60.0
+    s2_y0 = np.ceil(sw_t / 60.0) * 60.0
+    s2_w = int((float(oux.max()) - s2_x0) // 10.0)
+    s2_h = int((s2_y0 - float(ouy.min())) // 10.0)
+    s2_grid = Grid(utm, s2_x0, s2_y0, 10.0, 10.0, s2_w, s2_h)
+    utm60 = s2_anchored_target_grid(ortho_grid, s2_grid, 60.0, 60.0)
+    log(f"UTM 60 m grid: {utm60.height}x{utm60.width}; "
+        f"10 m grid: {s2_h}x{s2_w}")
+
+    # real S2 RGB at 60 m (serves as the fusion target; the downsample
+    # phase is folded in by sampling the world straight at 60 m)
+    uxs, uys = utm60.pixel_center_coords()
+    UX, UY = np.meshgrid(uxs, uys)
+    a60 = scenes.abundance_maps(UX, UY)
+    srf3 = builtin_srf("S2A", bands=["B2", "B3", "B4"])
+    W3, _, _ = build_srf_weight_matrix(wl, srf3, good)
+    s2_rgb_60 = np.clip(a60 @ (spectra @ np.asarray(W3)), 0, 1).astype(
+        np.float32)  # (H60, W60, 3) in B2,B3,B4 order
+    del a60
+
+    # host-precomputed index fields (f64 CRS math -> f32 indices)
+    flat_idx, valid = prepare_glt(glt, (raw_h, raw_w))
+    wr, wc = source_index_field(ortho_grid, utm60)  # TM inverse field
+    sep = separable_index_axes(utm60, s2_grid)
+    t_setup = time.perf_counter() - t_setup0
+    log(f"setup done in {t_setup:.1f}s")
+
+    # ---------------- device pipeline ----------------
+    # Two sequential programs so the granule-scale intermediates of the
+    # ortho product are freed before the fusion stage runs:
+    #   A: GLT gather + band-chunked cubic warp -> the 285-band UTM cube
+    #      (the nc_to_envi DATA product),
+    #   B: SRF synthesis + stretch + Sinkhorn OT + poly fit + 10 m
+    #      upsample + apply (the demo cell 81 fusion).
+    ot_cfg = OTConfig()
+
+    def ortho_product(raw_j, flat_j, valid_j, wr_j, wc_j):
+        ortho = glt_gather(raw_j, flat_j, valid_j)
+        return warp_interpolate_chunked(
+            ortho, wr_j, wc_j, nodata=-9999.0, method="cubic",
+            fill=-9999.0, band_chunk=19)
+
+    def fusion(utm_cube, W_j, s2rgb_j, rows10, cols10, key):
+        synth = srf_synthesize(utm_cube, W_j, fast=True)
+        valid60 = (utm_cube[..., 0] != -9999.0)
+        sim_rgb = synth[..., ::-1]
+        ref_rgb = s2rgb_j[..., ::-1]
+        sim_n = shared_percentile_stretch(sim_rgb, valid60)
+        ref_n = shared_percentile_stretch(ref_rgb, valid60)
+        k1, k2 = jax.random.split(key)
+        Xs, _ = sample_valid_pixels_device(sim_n, valid60, ot_cfg.n_samples,
+                                           k1)
+        Ys, _ = sample_valid_pixels_device(ref_n, valid60, ot_cfg.n_samples,
+                                           k2)
+        Ybar = ot_barycentric_targets(Xs, Ys, reg=ot_cfg.reg,
+                                      num_itermax=ot_cfg.num_itermax,
+                                      stop_thr=ot_cfg.stop_thr)
+        coeffs = jnp.stack([polyfit(Xs[:, c], Ybar[:, c], 4)
+                            for c in range(3)])
+        sim10 = warp_interpolate(sim_n, rows10, cols10, nodata=None,
+                                 method="bilinear", fill=jnp.nan)
+        fused = jnp.clip(polyval_channels(coeffs, sim10), 0.0, 1.0)
+        return fused, coeffs
+
+    jit_ortho = jax.jit(ortho_product)
+    jit_fusion = jax.jit(fusion)
+
+    log("uploading inputs ...")
+    t_up0 = time.perf_counter()
+    raw_j = jax.device_put(raw)
+    flat_j = jax.device_put(flat_idx)
+    valid_j = jax.device_put(valid)
+    wr_j = jax.device_put(wr)
+    wc_j = jax.device_put(wc)
+    W_j = jax.device_put(np.asarray(W3))
+    s2rgb_j = jax.device_put(s2_rgb_60)
+    rows10, cols10 = _broadcast_axes(jnp.asarray(sep[0]),
+                                     jnp.asarray(sep[1]))
+    key = jax.random.PRNGKey(0)
+    jax.block_until_ready((raw_j, flat_j, wr_j, s2rgb_j, rows10))
+    t_upload = time.perf_counter() - t_up0
+    log(f"upload done in {t_upload:.2f}s "
+        f"({raw.nbytes / 1e9:.2f} GB raw cube)")
+
+    log("compiling + warmup ...")
+    t_c0 = time.perf_counter()
+    utm_cube = jit_ortho(raw_j, flat_j, valid_j, wr_j, wc_j)
+    jax.block_until_ready(utm_cube)
+    fused, coeffs = jit_fusion(utm_cube, W_j, s2rgb_j, rows10, cols10, key)
+    jax.block_until_ready(fused)
+    del utm_cube
+    log(f"warmup (incl. compile): {time.perf_counter() - t_c0:.2f}s")
+
+    times = []
+    for i in range(3):
+        run_key = jax.random.PRNGKey(i)  # vary input so no run can be cached
+        t0 = time.perf_counter()
+        utm_cube = jit_ortho(raw_j, flat_j, valid_j, wr_j, wc_j)
+        fused, coeffs = jit_fusion(utm_cube, W_j, s2rgb_j, rows10, cols10,
+                                   run_key)
+        # block_until_ready + a small host readback: the experimental
+        # axon backend has been seen returning early from
+        # block_until_ready, and a device->host copy is a hard sync.
+        jax.block_until_ready(fused)
+        _ = np.asarray(fused[::997, ::997])
+        times.append(time.perf_counter() - t0)
+        del utm_cube
+    elapsed = min(times)
+    log(f"runs: {[f'{t:.3f}' for t in times]}; fused shape {fused.shape}")
+
+    fused_np = np.asarray(fused)
+    finite_frac = float(np.isfinite(fused_np).mean())
+    ok = finite_frac > 0.3 and float(np.nanmax(fused_np)) <= 1.0
+    log(f"output sane: {ok} (finite frac {finite_frac:.3f}); "
+        f"coeffs: {np.asarray(coeffs).round(3).tolist()}")
+
+    print(json.dumps({
+        "metric": "emit_granule_ortho_srf_fusion_to_10m",
+        "value": round(elapsed, 4),
+        "unit": "seconds",
+        "vs_baseline": round(north_star_s / elapsed, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -19,7 +19,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.constants import NO_DATA_VALUE
-from ..spectral.srf_tables import SRFDict, S2_BOX_TABLE
+
+# {band: (lambda_nm, response)} — the reference's SRF dict contract
+SRFDict = Dict[str, Tuple[np.ndarray, np.ndarray]]
 
 
 def trapezoid_weights(x: np.ndarray) -> np.ndarray:
@@ -75,7 +77,9 @@ def build_box_weight_matrix(
     (demo notebook cell 58): trapz over EMIT samples inside
     [centre - bw/2, centre + bw/2], normalised by (w[-1] - w[0]). Bands
     with < 2 samples in range are invalid (reference returns None)."""
-    box_table = box_table or S2_BOX_TABLE
+    if box_table is None:
+        from ..spectral.srf_tables import S2_BOX_TABLE
+        box_table = S2_BOX_TABLE
     emit_wl = np.asarray(emit_wl, dtype=np.float64)
     names = list(bands) if bands is not None else list(box_table.keys())
     gm = (np.asarray(good_mask, dtype=bool) if good_mask is not None

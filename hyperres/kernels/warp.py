@@ -202,6 +202,53 @@ def _integer_factor(src_grid: Grid, dst_grid: Grid) -> Optional[int]:
     return f
 
 
+@partial(jax.jit, static_argnames=("method", "fill", "band_chunk"))
+def warp_interpolate_chunked(img: jax.Array, rows: jax.Array,
+                             cols: jax.Array,
+                             nodata: Optional[float] = None,
+                             method: str = "bilinear",
+                             fill: float = NO_DATA_VALUE,
+                             band_chunk: int = 32) -> jax.Array:
+    """Band-chunked interpolation for deep cubes inside a single jitted
+    graph: the 4x4 cubic gathers of a (Hd, Wd, 285) warp would otherwise
+    keep ~16 full-cube temporaries live (tens of GB at granule scale);
+    chunking the spectral axis bounds peak HBM to the chunk size."""
+    b = img.shape[-1]
+    if b <= band_chunk:
+        return warp_interpolate(img, rows, cols, nodata=nodata,
+                                method=method, fill=fill)
+    # a real sequential loop (fori_loop + dynamic slices): an unrolled
+    # python loop lets XLA's scheduler run all chunks concurrently,
+    # which brings back the full-cube temporaries
+    pad = (-b) % band_chunk
+    if pad:
+        img = jnp.concatenate(
+            [img, jnp.zeros(img.shape[:-1] + (pad,), img.dtype)], axis=-1)
+    bp = b + pad
+    n_chunks = bp // band_chunk
+    out_shape = rows.shape + (bp,)
+
+    def body(i, out):
+        b0 = i * band_chunk
+        chunk = jax.lax.dynamic_slice_in_dim(img, b0, band_chunk, axis=-1)
+        warped = warp_interpolate(chunk, rows, cols, nodata=nodata,
+                                  method=method, fill=fill)
+        return jax.lax.dynamic_update_slice_in_dim(out, warped, b0, axis=-1)
+
+    out = jnp.full(out_shape, jnp.asarray(fill, jnp.float32))
+    out = jax.lax.fori_loop(0, n_chunks, body, out)
+    return out[..., :b]
+
+
+@partial(jax.jit, static_argnames=())
+def _broadcast_axes(rows_1d: jax.Array, cols_1d: jax.Array):
+    r = jnp.broadcast_to(rows_1d[:, None], (rows_1d.shape[0],
+                                            cols_1d.shape[0]))
+    c = jnp.broadcast_to(cols_1d[None, :], (rows_1d.shape[0],
+                                            cols_1d.shape[0]))
+    return r, c
+
+
 def resample_to_grid(
     data: np.ndarray,
     src_grid: Grid,
@@ -210,9 +257,15 @@ def resample_to_grid(
     method: str = "bilinear",
     nodata: Optional[float] = None,
     fill: float = NO_DATA_VALUE,
+    band_chunk: Optional[int] = None,
 ) -> np.ndarray:
     """Resample (H, W, B) or (H, W) data from src_grid onto dst_grid.
-    Returns float32 (Hd, Wd, B) (band axis preserved)."""
+    Returns float32 (Hd, Wd, B) (band axis preserved).
+
+    Fast paths: same-CRS grids use separable 1-D index axes (no
+    projection math at all); aligned integer-ratio 'average' is an exact
+    block reduction. ``band_chunk`` bounds device memory for very deep
+    cubes (the interpolation gathers hold (Hd, Wd, B) accumulators)."""
     arr = jnp.asarray(data, dtype=jnp.float32)
     squeeze = arr.ndim == 2
     if squeeze:
@@ -226,23 +279,33 @@ def resample_to_grid(
             sub = arr[oy:oy + dst_grid.height * f,
                       ox:ox + dst_grid.width * f, :]
             out = block_average(sub, f, nodata=nodata, fill=fill)
-        else:
-            # area approximation via supersampled bilinear is possible;
-            # for non-aligned grids fall back to bilinear transfer.
-            rows, cols = source_index_field(src_grid, dst_grid)
-            out = warp_interpolate(arr, jnp.asarray(rows), jnp.asarray(cols),
-                                   nodata=nodata, method="bilinear",
-                                   fill=fill)
-    elif method in ("bilinear", "cubic"):
-        rows, cols = source_index_field(src_grid, dst_grid)
-        out = warp_interpolate(arr, jnp.asarray(rows), jnp.asarray(cols),
-                               nodata=nodata, method=method, fill=fill)
-    elif method == "nearest":
-        rows, cols = source_index_field(src_grid, dst_grid)
-        out = warp_nearest(arr, jnp.asarray(rows), jnp.asarray(cols),
-                           nodata=nodata, fill=fill)
+            out = np.asarray(out)
+            return out[..., 0] if squeeze else out
+        method_eff = "bilinear"  # non-aligned grids: bilinear transfer
     else:
-        raise ValueError(f"Unknown resampling method {method!r}")
+        method_eff = method
+
+    sep = separable_index_axes(src_grid, dst_grid)
+    if sep is not None:
+        rows, cols = _broadcast_axes(jnp.asarray(sep[0]),
+                                     jnp.asarray(sep[1]))
+    else:
+        rows_np, cols_np = source_index_field(src_grid, dst_grid)
+        rows, cols = jnp.asarray(rows_np), jnp.asarray(cols_np)
+
+    def run(block):
+        if method_eff == "nearest":
+            return warp_nearest(block, rows, cols, nodata=nodata, fill=fill)
+        return warp_interpolate(block, rows, cols, nodata=nodata,
+                                method=method_eff, fill=fill)
+
+    nb = arr.shape[-1]
+    if band_chunk is None or band_chunk >= nb:
+        out = run(arr)
+    else:
+        parts = [run(arr[..., b0:b0 + band_chunk])
+                 for b0 in range(0, nb, band_chunk)]
+        out = jnp.concatenate(parts, axis=-1)
 
     out = np.asarray(out)
     return out[..., 0] if squeeze else out

@@ -74,7 +74,7 @@ S2_BOX_TABLE: Dict[str, Tuple[float, float]] = {
     "B12": (2190.0, 180.0),
 }
 
-SRFDict = Dict[str, Tuple[np.ndarray, np.ndarray]]
+from ..kernels.srf import SRFDict  # canonical alias lives with the kernel
 
 
 def _band_table(platform: str) -> Dict[str, Tuple[float, float, int]]:
