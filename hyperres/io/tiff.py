@@ -294,8 +294,9 @@ def write_geotiff(
         tiles_y = (h + bh - 1) // bh
         nblocks = tiles_y
 
-    # compress blocks
-    chunks: List[bytes] = []
+    # collect raw blocks, then compress them all at once (threaded in the
+    # native codec when available)
+    raws: List[bytes] = []
     for by in range(tiles_y):
         r0 = by * bh
         r1 = min(r0 + bh, h)
@@ -309,10 +310,12 @@ def write_geotiff(
                 block = pad
             if predictor == 2:
                 block = _predictor2_encode(block)
-            raw = block.tobytes()
-            if comp == COMPRESSION_DEFLATE:
-                raw = zlib.compress(raw, zlevel)
-            chunks.append(raw)
+            raws.append(block.tobytes())
+    if comp == COMPRESSION_DEFLATE:
+        from ..native import deflate_blocks
+        chunks = deflate_blocks(raws, level=zlevel)
+    else:
+        chunks = raws
 
     payload = sum(len(c) for c in chunks)
     use_big = (bigtiff is True) or (
