@@ -143,48 +143,40 @@ def main():
     log(f"setup done in {t_setup:.1f}s")
 
     # ---------------- device pipeline ----------------
-    # Two sequential programs so the granule-scale intermediates of the
-    # ortho product are freed before the fusion stage runs:
-    #   A: GLT gather + band-chunked cubic warp -> the 285-band UTM cube
-    #      (the nc_to_envi DATA product),
-    #   B: SRF synthesis + stretch + Sinkhorn OT + poly fit + 10 m
-    #      upsample + apply (the demo cell 81 fusion).
+    # One jitted program produces BOTH the 285-band UTM DATA product and
+    # the fused 10 m output; XLA then manages all intermediate liveness,
+    # and only the two outputs survive the launch. (The remote axon
+    # backend frees buffers asynchronously, so multi-program structures
+    # with large cross-program arrays proved OOM-prone.)
     ot_cfg = OTConfig()
 
-    def ortho_product(raw_j, flat_j, valid_j, wr_j, wc_j):
-        # fused GLT + cubic warp: each tap gathers straight from the raw
-        # swath through the GLT — the geographic ortho cube never
-        # materialises (see orthowarp_taploop docstring)
-        return orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
-                                 method="cubic", fill=-9999.0)
-
-    def fusion(utm_cube, W_j, s2rgb_j, Wr10, Wc10, key):
+    def full_pipeline(raw_j, flat_j, valid_j, wr_j, wc_j, W_j, s2rgb_j,
+                      Wr10, Wc10, key):
+        # 1+2. fused GLT + cubic warp straight to the S2-anchored grid
+        utm_cube = orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
+                                     method="cubic", fill=-9999.0)
+        # 3. SRF synthesis -> B2,B3,B4 at 60 m (MXU matmul)
         synth = srf_synthesize(utm_cube, W_j, fast=True)
         valid60 = (utm_cube[..., 0] != -9999.0)
-        sim_rgb = synth[..., ::-1]
-        ref_rgb = s2rgb_j[..., ::-1]
-        sim_n = shared_percentile_stretch(sim_rgb, valid60)
-        ref_n = shared_percentile_stretch(ref_rgb, valid60)
+        # 4. shared stretch + Sinkhorn OT + degree-4 polynomial fit
+        sim_n = shared_percentile_stretch(synth[..., ::-1], valid60)
+        ref_n = shared_percentile_stretch(s2rgb_j[..., ::-1], valid60)
         k1, k2 = jax.random.split(key)
-        Xs, _ = sample_valid_pixels_device(sim_n, valid60, ot_cfg.n_samples,
-                                           k1)
-        Ys, _ = sample_valid_pixels_device(ref_n, valid60, ot_cfg.n_samples,
-                                           k2)
+        Xs, _ = sample_valid_pixels_device(sim_n, valid60,
+                                           ot_cfg.n_samples, k1)
+        Ys, _ = sample_valid_pixels_device(ref_n, valid60,
+                                           ot_cfg.n_samples, k2)
         Ybar = ot_barycentric_targets(Xs, Ys, reg=ot_cfg.reg,
                                       num_itermax=ot_cfg.num_itermax,
                                       stop_thr=ot_cfg.stop_thr)
         coeffs = jnp.stack([polyfit(Xs[:, c], Ybar[:, c], 4)
                             for c in range(3)])
-        # 10 m upsample as two MXU matmuls (separable bilinear weights)
-        sim10 = separable_resample_matmul(sim_n, Wr10, Wc10,
-                                          fill=jnp.nan)
+        # 5. 10 m upsample as two MXU matmuls + polyval
+        sim10 = separable_resample_matmul(sim_n, Wr10, Wc10, fill=jnp.nan)
         fused = jnp.clip(polyval_channels(coeffs, sim10), 0.0, 1.0)
-        return fused, coeffs
+        return utm_cube, fused, coeffs
 
-    jit_ortho = jax.jit(ortho_product)
-    # donate the UTM cube: fusion may reuse its HBM in place
-    jit_fusion = jax.jit(fusion, donate_argnums=(0,))
-    jit_probe = jax.jit(lambda x: x[::997, ::997])
+    jitted = jax.jit(full_pipeline)
 
     log("uploading inputs ...")
     t_up0 = time.perf_counter()
@@ -205,44 +197,47 @@ def main():
     log(f"upload done in {t_upload:.2f}s "
         f"({raw.nbytes / 1e9:.2f} GB raw cube)")
 
+    jit_probe = jax.jit(lambda x: x[::997, ::997])
+
     log("compiling + warmup ...")
     t_c0 = time.perf_counter()
-    utm_cube = jit_ortho(raw_j, flat_j, valid_j, wr_j, wc_j)
-    jax.block_until_ready(utm_cube)
-    fused, coeffs = jit_fusion(utm_cube, W_j, s2rgb_j, Wr10, Wc10, key)
+    utm_cube, fused, coeffs = jitted(raw_j, flat_j, valid_j, wr_j, wc_j,
+                                     W_j, s2rgb_j, Wr10, Wc10, key)
     jax.block_until_ready(fused)
-    _ = np.asarray(jit_probe(fused))  # compile the probe too
+    _ = np.asarray(jit_probe(fused))
+    utm_shape = utm_cube.shape
+    utm_cube.delete()
     fused.delete()
     del utm_cube, fused, coeffs
-    # hard sync so pending frees land before the timed loop
-    _ = float(jnp.sum(jnp.zeros(8)))
-    log(f"warmup (incl. compile): {time.perf_counter() - t_c0:.2f}s")
+    _ = float(jnp.sum(jnp.zeros(8)))  # hard sync
+    time.sleep(2.0)                   # let async frees land on the remote
+    log(f"warmup (incl. compile): {time.perf_counter() - t_c0:.2f}s; "
+        f"UTM product {utm_shape}")
 
+    n_runs = int(os.environ.get("HYPERRES_BENCH_RUNS", "1"))
     times = []
     fused_np = coeffs_np = fused_shape = None
-    for i in range(3):
-        run_key = jax.random.PRNGKey(i)  # vary input so no run can be cached
+    for i in range(n_runs):
+        run_key = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
-        utm_cube = jit_ortho(raw_j, flat_j, valid_j, wr_j, wc_j)
-        fused, coeffs = jit_fusion(utm_cube, W_j, s2rgb_j, Wr10, Wc10,
-                                   run_key)
-        # block_until_ready + a small host readback: the experimental
-        # axon backend has been seen returning early from
-        # block_until_ready, and a device->host copy is a hard sync.
+        utm_cube, fused, coeffs = jitted(raw_j, flat_j, valid_j, wr_j,
+                                         wc_j, W_j, s2rgb_j, Wr10, Wc10,
+                                         run_key)
         jax.block_until_ready(fused)
         _ = np.asarray(jit_probe(fused))
         times.append(time.perf_counter() - t0)
         fused_shape = fused.shape
-        if i == 2:
+        if i == n_runs - 1:
             fused_np = np.asarray(fused)
             coeffs_np = np.asarray(coeffs)
-        # free the granule-scale buffers before the next iteration
-        # (utm_cube was donated into the fusion program)
+        utm_cube.delete()
         fused.delete()
         del utm_cube, fused, coeffs
-        _ = float(jnp.sum(jnp.zeros(8)))  # sync pending frees
+        _ = float(jnp.sum(jnp.zeros(8)))
+        time.sleep(2.0)
     elapsed = min(times)
     log(f"runs: {[f'{t:.3f}' for t in times]}; fused shape {fused_shape}")
+
     finite_frac = float(np.isfinite(fused_np).mean())
     ok = finite_frac > 0.3 and float(np.nanmax(fused_np)) <= 1.0
     log(f"output sane: {ok} (finite frac {finite_frac:.3f}); "

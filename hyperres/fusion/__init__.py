@@ -4,7 +4,8 @@ from .ot import (
     fit_ot_affine, apply_affine, ot_match_rgb_sinkhorn,
     fit_ot_poly, apply_poly,
 )
-from .ridge_sr import RidgeSpectralSR, RidgeSRParams, flatten_pixels
+from .ridge_sr import (RidgeSpectralSR, RidgeSRParams, flatten_pixels,
+                       save_params, load_params)
 from .sampling import sample_valid_pixels_host, sample_valid_pixels_device
 
 __all__ = [
@@ -12,5 +13,6 @@ __all__ = [
     "fit_ot_affine", "apply_affine", "ot_match_rgb_sinkhorn",
     "fit_ot_poly", "apply_poly",
     "RidgeSpectralSR", "RidgeSRParams", "flatten_pixels",
+    "save_params", "load_params",
     "sample_valid_pixels_host", "sample_valid_pixels_device",
 ]

@@ -190,3 +190,36 @@ class RidgeSpectralSR:
         r2, rmse = r2_rmse_per_band(
             jnp.asarray(Y_true, jnp.float32), jnp.asarray(y_pred))
         return np.asarray(r2), np.asarray(rmse)
+
+
+def save_params(path, model: "RidgeSpectralSR") -> None:
+    """Persist a fitted model (config + parameters) as an .npz archive —
+    the checkpointing the reference never had (SURVEY.md section 5)."""
+    assert model.params is not None, "fit() first"
+    p = model.params
+    np.savez(
+        path,
+        x_mean=np.asarray(p.x_mean), x_std=np.asarray(p.x_std),
+        W=np.asarray(p.W), intercept=np.asarray(p.intercept),
+        n_inputs=model.n_inputs, n_outputs=model.n_outputs,
+        degree=model.cfg.degree, alpha=model.cfg.alpha,
+        logit_eps=model.cfg.logit_eps, include_bias=model.cfg.include_bias,
+        batch_pixels=model.cfg.batch_pixels,
+        n_emit_bands=model.cfg.n_emit_bands,
+    )
+
+
+def load_params(path) -> "RidgeSpectralSR":
+    z = np.load(path)
+    cfg = RidgeSRConfig(
+        degree=int(z["degree"]), alpha=float(z["alpha"]),
+        n_emit_bands=int(z["n_emit_bands"]),
+        logit_eps=float(z["logit_eps"]),
+        batch_pixels=int(z["batch_pixels"]),
+        include_bias=bool(z["include_bias"]),
+    )
+    model = RidgeSpectralSR(int(z["n_inputs"]), int(z["n_outputs"]), cfg)
+    model.params = RidgeSRParams(
+        jnp.asarray(z["x_mean"]), jnp.asarray(z["x_std"]),
+        jnp.asarray(z["W"]), jnp.asarray(z["intercept"]))
+    return model
