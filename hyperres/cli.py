@@ -1,0 +1,168 @@
+"""Command-line interface.
+
+The reference has no CLI at all (SURVEY.md section 0 — orchestration
+lives in notebooks); hyperres exposes the pipeline stages as
+subcommands:
+
+  python -m hyperres ortho  EMIT.nc OUT_DIR --s2 S2.tif [--loc] [--obs OBS.nc]
+  python -m hyperres fuse   EMIT.nc S2_STACK.tif OUT_DIR [...]
+  python -m hyperres tiles  EMIT.tif S2.tif OUT_DIR [--tile-size N] [--scale K]
+  python -m hyperres coreg  --emit-ref E.tif --s2 S2.tif --nc EMIT.nc --out OUT.tif
+  python -m hyperres scene  OUT_DIR [--raw H W] [--bands N] [--s2-size N]
+  python -m hyperres info   RASTER [RASTER ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _cmd_ortho(args) -> int:
+    from .core.config import OrthoConfig
+    from .ortho import orthorectify_granule
+
+    res = orthorectify_granule(
+        args.granule, args.out_dir, args.s2,
+        obs_file=args.obs, export_loc=args.loc,
+        config=OrthoConfig(overwrite=args.overwrite,
+                           save_geotiffs=not args.no_geotiffs),
+        save_info_path=Path(args.out_dir) / "ortho_info.json")
+    print(json.dumps({"data_envi_bin": str(res.data_envi_bin),
+                      "outputs": res.info.get("outputs", {}),
+                      "stages": res.info.get("stages", {})}, indent=2))
+    return 0
+
+
+def _cmd_fuse(args) -> int:
+    from .core.config import PolyFusionConfig, TilingConfig
+    from .pipeline import run_pair_pipeline
+
+    res = run_pair_pipeline(
+        args.granule, args.s2_stack, args.out_dir,
+        fusion_config=PolyFusionConfig(degree=args.degree),
+        tiling_config=TilingConfig(emit_tile_size=args.tile_size,
+                                   max_black_frac=args.max_black_frac),
+        max_tiles=args.max_tiles,
+        train_sr=not args.no_sr)
+    print(json.dumps({
+        "fused_tif": str(res.fused_tif),
+        "report": str(res.report_path),
+        "n_tiles": len(res.tiles),
+        "sr_r2_mean": (res.sr_metrics or {}).get("r2_mean"),
+        "total_seconds": res.info.get("total_seconds"),
+    }, indent=2))
+    return 0
+
+
+def _cmd_tiles(args) -> int:
+    from .tiling import find_valid_paired_tiles, save_tile_pair
+
+    tiles = find_valid_paired_tiles(
+        args.emit, args.s2, emit_tile_size=args.tile_size,
+        scale=args.scale, max_black_frac=args.max_black_frac,
+        max_tiles=args.max_tiles)
+    outputs = []
+    for t in tiles:
+        eo, so = save_tile_pair(args.emit, args.s2, t, args.out_dir)
+        outputs.append({"idx": t["idx"], "emit": str(eo), "s2": str(so),
+                        "emit_black_frac": t["emit_black_frac"]})
+    print(json.dumps({"n_tiles": len(tiles), "tiles": outputs}, indent=2))
+    return 0
+
+
+def _cmd_coreg(args) -> int:
+    from .coreg import coregister_s2_to_emit
+
+    out = coregister_s2_to_emit(
+        emit_ref_tif=args.emit_ref, s2_tgt_tif=args.s2,
+        emit_nc_path=args.nc, out_s2_tif=args.out)
+    print(json.dumps(out, indent=2, default=str))
+    return 0 if out["final"].get("success") else 1
+
+
+def _cmd_scene(args) -> int:
+    from .testing.scenes import make_scene
+
+    scene = make_scene(args.out_dir, raw_shape=tuple(args.raw),
+                       n_bands=args.bands, s2_size=args.s2_size)
+    print(json.dumps({"emit_nc": str(scene.emit_nc_path),
+                      "s2_tif": str(scene.s2_tif_path)}, indent=2))
+    return 0
+
+
+def _cmd_info(args) -> int:
+    from .viz import print_raster_geometry
+
+    for path in args.rasters:
+        print_raster_geometry(path)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="hyperres",
+        description="TPU-native EMIT x Sentinel-2 fusion framework")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    o = sub.add_parser("ortho", help="orthorectify a granule onto an "
+                                     "S2-anchored UTM grid")
+    o.add_argument("granule")
+    o.add_argument("out_dir")
+    o.add_argument("--s2", required=True, help="S2 template GeoTIFF")
+    o.add_argument("--obs", default=None)
+    o.add_argument("--loc", action="store_true")
+    o.add_argument("--overwrite", action="store_true")
+    o.add_argument("--no-geotiffs", action="store_true")
+    o.set_defaults(fn=_cmd_ortho)
+
+    f = sub.add_parser("fuse", help="full pair pipeline")
+    f.add_argument("granule")
+    f.add_argument("s2_stack")
+    f.add_argument("out_dir")
+    f.add_argument("--degree", type=int, default=4)
+    f.add_argument("--tile-size", type=int, default=100)
+    f.add_argument("--max-black-frac", type=float, default=0.0)
+    f.add_argument("--max-tiles", type=int, default=None)
+    f.add_argument("--no-sr", action="store_true")
+    f.set_defaults(fn=_cmd_fuse)
+
+    t = sub.add_parser("tiles", help="paired tiling")
+    t.add_argument("emit")
+    t.add_argument("s2")
+    t.add_argument("out_dir")
+    t.add_argument("--tile-size", type=int, default=100)
+    t.add_argument("--scale", type=int, default=6)
+    t.add_argument("--max-black-frac", type=float, default=0.0)
+    t.add_argument("--max-tiles", type=int, default=None)
+    t.set_defaults(fn=_cmd_tiles)
+
+    c = sub.add_parser("coreg", help="coregister S2 to EMIT")
+    c.add_argument("--emit-ref", required=True)
+    c.add_argument("--s2", required=True)
+    c.add_argument("--nc", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=_cmd_coreg)
+
+    s = sub.add_parser("scene", help="fabricate a synthetic demo scene")
+    s.add_argument("out_dir")
+    s.add_argument("--raw", type=int, nargs=2, default=[96, 112])
+    s.add_argument("--bands", type=int, default=64)
+    s.add_argument("--s2-size", type=int, default=420)
+    s.set_defaults(fn=_cmd_scene)
+
+    i = sub.add_parser("info", help="raster geometry summaries")
+    i.add_argument("rasters", nargs="+")
+    i.set_defaults(fn=_cmd_info)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
