@@ -41,10 +41,21 @@ def _default_fetch_json(url: str, params: Optional[dict] = None,
         raise CatalogUnavailableError(f"{method} {url} failed: {e}") from e
 
 
-def _default_download(url: str, dst: Path, timeout: float = 600.0) -> Path:
+def _default_download(url: str, dst: Path, timeout: float = 600.0,
+                      token: Optional[str] = None) -> Path:
+    """Streaming download; Earthdata bearer token from the argument or
+    the EARTHDATA_TOKEN env var (the earthaccess.login equivalent,
+    EMIT_utils.py:31-32)."""
+    import os
+
     import requests
+    headers = {}
+    token = token or os.environ.get("EARTHDATA_TOKEN")
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
     try:
-        with requests.get(url, stream=True, timeout=timeout) as r:
+        with requests.get(url, stream=True, timeout=timeout,
+                          headers=headers) as r:
             r.raise_for_status()
             dst.parent.mkdir(parents=True, exist_ok=True)
             with open(dst, "wb") as f:

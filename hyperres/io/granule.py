@@ -239,3 +239,22 @@ def apply_glt(ds_array: np.ndarray, glt_array: np.ndarray,
     glt0[valid] -= 1
     out[valid, :] = ds_array[glt0[valid, 1], glt0[valid, 0], :]
     return out
+
+
+def open_reflectance(path):
+    """Convenience: open an EMIT reflectance granule and return
+    (cube (H, W, B) float32 with fill -> NaN, wavelengths_nm,
+    good_band_mask) — the reference's open_reflectance +
+    attach_wavelengths (EMIT_data/EMIT_utils.py:119-154, including the
+    micrometre -> nanometre heuristic handled by EmitGranule)."""
+    with EmitGranule(path) as g:
+        cube = g.read_cube()
+        cube = np.where(cube == -9999.0, np.nan, cube)
+        return cube, g.wavelengths, g.good_wavelengths
+
+
+def load_emit_wavelengths_from_nc(path):
+    """(wavelengths_nm, good_mask) from a granule — API parity with
+    s2_emit/emit_io.py:18-31."""
+    with EmitGranule(path) as g:
+        return g.wavelengths, g.good_wavelengths

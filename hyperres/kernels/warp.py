@@ -338,11 +338,12 @@ def warp_interpolate_taploop(img: jax.Array, rows: jax.Array,
     return jnp.where(centre_in, out, jnp.asarray(fill, jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("method", "fill"))
+@partial(jax.jit, static_argnames=("method", "fill", "row_chunks"))
 def orthowarp_taploop(raw: jax.Array, glt_flat_idx: jax.Array,
                       glt_valid: jax.Array, rows: jax.Array,
                       cols: jax.Array, method: str = "cubic",
-                      fill: float = NO_DATA_VALUE) -> jax.Array:
+                      fill: float = NO_DATA_VALUE,
+                      row_chunks: int = 4) -> jax.Array:
     """Fused GLT-orthorectification + resampling warp.
 
     The reference materialises the GLT-gathered geographic cube and then
@@ -352,6 +353,10 @@ def orthowarp_taploop(raw: jax.Array, glt_flat_idx: jax.Array,
     tap gathers *through* the GLT straight from the raw swath cube. The
     multi-GB ortho intermediate never exists, and validity is the
     per-pixel GLT mask (no per-band nodata testing).
+
+    Peak-HBM control: the sequential loop runs over (tap x row-block)
+    pairs; each iteration gathers only a 1/row_chunks slab of the
+    destination, so the live temporary is the accumulator plus one slab.
 
     raw (h, w, B); glt_flat_idx (Ho, Wo) int32 0-based flat raw indices;
     glt_valid (Ho, Wo) bool; rows/cols fractional *ortho-grid* indices of
@@ -364,6 +369,17 @@ def orthowarp_taploop(raw: jax.Array, glt_flat_idx: jax.Array,
     ho, wo = glt_flat_idx.shape
     glt_flat = glt_flat_idx.reshape(-1)
     valid_flat = glt_valid.reshape(-1)
+
+    hd, wd = rows.shape
+    chunk = -(-hd // row_chunks)
+    pad_rows = chunk * row_chunks - hd
+    if pad_rows:
+        # padded rows sit far outside the source => fill at the end
+        rows = jnp.concatenate(
+            [rows, jnp.full((pad_rows, wd), -1e6, rows.dtype)], axis=0)
+        cols = jnp.concatenate(
+            [cols, jnp.full((pad_rows, wd), -1e6, cols.dtype)], axis=0)
+    hp = hd + pad_rows
 
     r0 = jnp.floor(rows)
     c0 = jnp.floor(cols)
@@ -384,35 +400,52 @@ def orthowarp_taploop(raw: jax.Array, glt_flat_idx: jax.Array,
         raise ValueError(f"Unknown method {method!r}")
     n_t = len(offsets)
     off = jnp.asarray(offsets, dtype=jnp.int32)
+    n_iter = n_t * n_t * row_chunks
 
     def body(i, carry):
         acc, wacc = carry
-        ti = i // n_t
-        tj = i % n_t
-        ri = r0i + off[ti]
-        ci = c0i + off[tj]
+        tap = i // row_chunks
+        blk = i % row_chunks
+        ti = tap // n_t
+        tj = tap % n_t
+        rstart = blk * chunk
+        ri = jax.lax.dynamic_slice(r0i, (rstart, 0), (chunk, wd)) + off[ti]
+        ci = jax.lax.dynamic_slice(c0i, (rstart, 0), (chunk, wd)) + off[tj]
+        wgt_slab = (jax.lax.dynamic_slice(wr, (ti, rstart, 0),
+                                          (1, chunk, wd))[0]
+                    * jax.lax.dynamic_slice(wc, (tj, rstart, 0),
+                                            (1, chunk, wd))[0])
         rin = (ri >= 0) & (ri < ho)
         cin = (ci >= 0) & (ci < wo)
         oidx = (jnp.clip(ri, 0, ho - 1) * wo
                 + jnp.clip(ci, 0, wo - 1)).reshape(-1)
         raw_idx = jnp.take(glt_flat, oidx)
-        ok = (jnp.take(valid_flat, oidx).reshape(ri.shape)
-              & rin & cin)
+        ok = (jnp.take(valid_flat, oidx).reshape(ri.shape) & rin & cin)
         v = jnp.take(raw_flat, raw_idx, axis=0).reshape(ri.shape + (b,))
-        wgt = jnp.where(ok, wr[ti] * wc[tj], 0.0)[..., None]
-        return ((acc + v * wgt).astype(jnp.float32),
-                (wacc + wgt).astype(jnp.float32))
+        wgt = jnp.where(ok, wgt_slab, 0.0)[..., None]
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            (jax.lax.dynamic_slice(acc, (rstart, 0, 0), (chunk, wd, b))
+             + v * wgt).astype(jnp.float32),
+            (rstart, 0, 0))
+        wacc = jax.lax.dynamic_update_slice(
+            wacc,
+            (jax.lax.dynamic_slice(wacc, (rstart, 0, 0), (chunk, wd, 1))
+             + wgt).astype(jnp.float32),
+            (rstart, 0, 0))
+        return acc, wacc
 
-    acc = jnp.zeros(rows.shape + (b,), dtype=jnp.float32)
-    wacc = jnp.zeros(rows.shape + (1,), dtype=jnp.float32)
-    acc, wacc = jax.lax.fori_loop(0, n_t * n_t, body, (acc, wacc))
+    acc = jnp.zeros((hp, wd, b), dtype=jnp.float32)
+    wacc = jnp.zeros((hp, wd, 1), dtype=jnp.float32)
+    acc, wacc = jax.lax.fori_loop(0, n_iter, body, (acc, wacc))
 
     good = jnp.abs(wacc) > 1e-6
     out = jnp.where(good, acc / jnp.where(good, wacc, 1.0),
                     jnp.asarray(fill, jnp.float32))
     centre_in = ((rows >= -0.5) & (rows <= ho - 0.5)
                  & (cols >= -0.5) & (cols <= wo - 0.5))[..., None]
-    return jnp.where(centre_in, out, jnp.asarray(fill, jnp.float32))
+    out = jnp.where(centre_in, out, jnp.asarray(fill, jnp.float32))
+    return out[:hd]
 
 
 @partial(jax.jit, static_argnames=("method", "fill", "band_chunk"))

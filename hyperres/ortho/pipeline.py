@@ -343,3 +343,28 @@ def _save_info(info: Dict, save_info_path) -> None:
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_text(json.dumps(info, indent=2, default=str))
         info["saved_info_path"] = str(p)
+
+
+def convert_granules(
+    img_files,
+    out_dir,
+    s2_grid,
+    *,
+    obs_files=None,
+    config: OrthoConfig = OrthoConfig(),
+    export_loc: bool = False,
+):
+    """Batch ortho conversion — the ``convert_emit_nc_to_envi`` wrapper
+    (emit_proj.py:1303-1356): run every granule, record-and-continue on
+    failures, return [(path_or_None, info_dict), ...]."""
+    results = []
+    obs_files = obs_files or [None] * len(img_files)
+    for img, obs in zip(img_files, obs_files):
+        try:
+            res = orthorectify_granule(
+                img, out_dir, s2_grid, obs_file=obs,
+                export_loc=export_loc, config=config)
+            results.append((res.data_envi_bin, res.info))
+        except Exception as e:  # record-and-continue
+            results.append((None, {"img_file": str(img), "error": str(e)}))
+    return results
