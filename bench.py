@@ -214,6 +214,52 @@ def main():
     log(f"warmup (incl. compile): {time.perf_counter() - t_c0:.2f}s; "
         f"UTM product {utm_shape}")
 
+    if os.environ.get("HYPERRES_BENCH_STAGES"):
+        # diagnostic: time each stage as its own program
+        def stage_ortho(raw_j, flat_j, valid_j, wr_j, wc_j):
+            return orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
+                                     method="cubic", fill=-9999.0)
+
+        def stage_fit(utm_cube, W_j, s2rgb_j, key):
+            synth = srf_synthesize(utm_cube, W_j, fast=True)
+            valid60 = (utm_cube[..., 0] != -9999.0)
+            sim_n = shared_percentile_stretch(synth[..., ::-1], valid60)
+            ref_n = shared_percentile_stretch(s2rgb_j[..., ::-1], valid60)
+            k1, k2 = jax.random.split(key)
+            Xs, _ = sample_valid_pixels_device(sim_n, valid60,
+                                               ot_cfg.n_samples, k1)
+            Ys, _ = sample_valid_pixels_device(ref_n, valid60,
+                                               ot_cfg.n_samples, k2)
+            Ybar = ot_barycentric_targets(Xs, Ys, reg=ot_cfg.reg,
+                                          num_itermax=ot_cfg.num_itermax,
+                                          stop_thr=ot_cfg.stop_thr)
+            coeffs = jnp.stack([polyfit(Xs[:, c], Ybar[:, c], 4)
+                                for c in range(3)])
+            return sim_n, coeffs
+
+        def stage_up(sim_n, coeffs, Wr10, Wc10):
+            sim10 = separable_resample_matmul(sim_n, Wr10, Wc10,
+                                              fill=jnp.nan)
+            return jnp.clip(polyval_channels(coeffs, sim10), 0.0, 1.0)
+
+        js = [jax.jit(stage_ortho), jax.jit(stage_fit),
+              jax.jit(stage_up)]
+        # warmup
+        u = js[0](raw_j, flat_j, valid_j, wr_j, wc_j)
+        sim_n, coeffs = js[1](u, W_j, s2rgb_j, key)
+        fz = js[2](sim_n, coeffs, Wr10, Wc10)
+        jax.block_until_ready(fz)
+        for name, fn, args in [
+                ("orthowarp", js[0], (raw_j, flat_j, valid_j, wr_j, wc_j)),
+                ("srf+stretch+ot+fit", js[1], (u, W_j, s2rgb_j, key)),
+                ("upsample+apply", js[2], (sim_n, coeffs, Wr10, Wc10))]:
+            t0 = time.perf_counter()
+            r = fn(*args)
+            jax.block_until_ready(r)
+            _ = np.asarray(jax.tree_util.tree_leaves(r)[0][:1, :1])
+            log(f"stage {name}: {time.perf_counter() - t0:.3f}s")
+        u.delete(); fz.delete(); del u, sim_n, coeffs, fz
+
     n_runs = int(os.environ.get("HYPERRES_BENCH_RUNS", "1"))
     times = []
     fused_np = coeffs_np = fused_shape = None
