@@ -65,6 +65,8 @@ class EmitGranule:
 
         self._data = root.datasets[self.data_var]
         dims = self._data.attrs.get("dimensions")
+        if isinstance(dims, str):
+            dims = dims.replace(",", " ").split()
         self.transpose_raw_yx = False
         if isinstance(dims, (list, tuple)) and len(dims) >= 2:
             d0, d1 = str(dims[0]).lower(), str(dims[1]).lower()

@@ -706,6 +706,15 @@ def _attr_message(name: str, value) -> bytes:
         arr = None
         shape = ()
         raw = data
+    elif (isinstance(value, (list, tuple))
+          and value and all(isinstance(v, str) for v in value)):
+        # list-of-strings attribute: fixed-size string array (the form
+        # netcdf-c uses for dimension-name attrs)
+        size = max(len(v.encode()) for v in value) + 1
+        dtype = np.dtype(f"S{size}")
+        shape = (len(value),)
+        raw = b"".join(v.encode().ljust(size, b"\x00") for v in value)
+        arr = None
     else:
         arr = np.asarray(value)
         if arr.dtype.kind == "U":

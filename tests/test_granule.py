@@ -84,3 +84,72 @@ def test_scene_is_deterministic(tmp_path):
     with EmitGranule(s1.emit_nc_path) as g1, EmitGranule(s2.emit_nc_path) as g2:
         np.testing.assert_array_equal(g1.read_cube(), g2.read_cube())
         np.testing.assert_array_equal(g1.glt, g2.glt)
+
+
+def test_granule_transposed_dims(tmp_path, rng):
+    """Granules whose raw array is stored (crosstrack, downtrack, bands)
+    must be transposed on read (emit_proj.py:646-661 sniffing)."""
+    from hyperres.io.hdf5 import HDF5Writer
+    h, w, b = 14, 18, 5
+    cube_yx = rng.random((h, w, b)).astype(np.float32)
+    wgr = HDF5Writer(tmp_path / "t.nc")
+    wgr.create_dataset("/reflectance",
+                       np.transpose(cube_yx, (1, 0, 2)).copy(),
+                       attrs={"dimensions":
+                              "crosstrack downtrack bands".split()})
+    wgr.create_group("/sensor_band_parameters")
+    wgr.create_dataset("/sensor_band_parameters/wavelengths",
+                       np.linspace(400, 900, b).astype(np.float32),
+                       attrs={"units": "nanometers"})
+    wgr.create_group("/location")
+    wgr.create_dataset("/location/glt_x", np.ones((6, 7)))
+    wgr.create_dataset("/location/glt_y", np.ones((6, 7)))
+    wgr.set_attrs("/", geotransform=np.array([0., 1., 0., 0., 0., -1.]))
+    wgr.save()
+    with EmitGranule(tmp_path / "t.nc") as g:
+        assert g.transpose_raw_yx
+        assert (g.raw_height, g.raw_width) == (h, w)
+        np.testing.assert_array_equal(g.read_cube(), cube_yx)
+
+
+def test_micrometer_wavelengths_normalised(tmp_path, rng):
+    from hyperres.io.hdf5 import HDF5Writer
+    wgr = HDF5Writer(tmp_path / "um.nc")
+    wgr.create_dataset("/reflectance", rng.random((4, 5, 3)).astype(np.float32))
+    wgr.create_group("/sensor_band_parameters")
+    wgr.create_dataset("/sensor_band_parameters/wavelengths",
+                       np.array([0.45, 0.56, 0.66], dtype=np.float32),
+                       attrs={"units": "micrometers"})
+    wgr.create_group("/location")
+    wgr.create_dataset("/location/glt_x", np.ones((4, 5)))
+    wgr.create_dataset("/location/glt_y", np.ones((4, 5)))
+    wgr.set_attrs("/", geotransform=np.array([0., 1., 0., 0., 0., -1.]))
+    wgr.save()
+    with EmitGranule(tmp_path / "um.nc") as g:
+        np.testing.assert_allclose(g.wavelengths, [450.0, 560.0, 660.0])
+
+
+def test_mask_granule_quality_and_band_mask(tmp_path, rng):
+    from hyperres.io.granule import EmitMaskGranule
+    from hyperres.io.hdf5 import HDF5Writer
+    h, w = 9, 11
+    mask = np.zeros((h, w, 8), dtype=np.float32)
+    mask[2, 3, 0] = 1.0   # cloud flag band 0
+    mask[4, 5, 1] = 1.0
+    mask[4, 5, 3] = 1.0   # multiple flags -> still 1 after clipping
+    packed = rng.integers(0, 255, size=(h, w, 36)).astype(np.uint8)
+    wgr = HDF5Writer(tmp_path / "mask.nc")
+    wgr.create_dataset("/mask", mask)
+    wgr.create_dataset("/band_mask", packed)
+    wgr.save()
+    with EmitMaskGranule(tmp_path / "mask.nc") as m:
+        q = m.quality_mask([0, 1, 3])
+        assert q.dtype == np.uint8
+        assert q[2, 3] == 1 and q[4, 5] == 1
+        assert q.sum() == 2
+        with pytest.raises(ValueError, match="data band"):
+            m.quality_mask([0, 5])
+        bm = m.band_mask()
+        assert bm.shape == (h, w, 285)
+        want = np.unpackbits(packed, axis=-1)[:, :, :285]
+        np.testing.assert_array_equal(bm, want)
