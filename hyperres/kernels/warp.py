@@ -435,8 +435,12 @@ def orthowarp_taploop(raw: jax.Array, glt_flat_idx: jax.Array,
             (rstart, 0, 0))
         return acc, wacc
 
-    acc = jnp.zeros((hp, wd, b), dtype=jnp.float32)
-    wacc = jnp.zeros((hp, wd, 1), dtype=jnp.float32)
+    # derive the zero initialisers from the coordinate field so they
+    # carry its sharding (under shard_map the loop carry must vary over
+    # the same mesh axes as the body output)
+    zero_plane = (rows * 0.0).astype(jnp.float32)[..., None]
+    acc = jnp.broadcast_to(zero_plane, (hp, wd, b)) + 0.0
+    wacc = zero_plane + 0.0
     acc, wacc = jax.lax.fori_loop(0, n_iter, body, (acc, wacc))
 
     good = jnp.abs(wacc) > 1e-6

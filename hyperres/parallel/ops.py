@@ -195,3 +195,31 @@ def sharded_srf_synthesize(cube_hwb, weights_bs, mesh: Mesh,
 
     return run(jnp.asarray(cube_hwb, jnp.float32),
                jnp.asarray(weights_bs, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# Sharded fused ortho-warp (destination rows data-parallel)
+# ---------------------------------------------------------------------------
+
+def sharded_orthowarp(raw, glt_flat_idx, glt_valid, rows, cols, mesh: Mesh,
+                      axis: str = "data", method: str = "cubic",
+                      fill: float = -9999.0, row_chunks: int = 1):
+    """Multi-chip fused GLT+warp: the destination coordinate fields are
+    sharded over ``axis`` (each chip produces its block of output rows);
+    the raw cube and GLT are replicated (a full EMIT granule is ~1.8 GB —
+    comfortably resident per chip). Scales the dominant ortho stage
+    linearly across chips with zero collectives in the hot loop.
+    Destination height must divide the axis size."""
+    from ..kernels.warp import orthowarp_taploop
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(axis), P(axis)),
+             out_specs=P(axis))
+    def run(raw_s, gf_s, gv_s, rows_s, cols_s):
+        return orthowarp_taploop(raw_s, gf_s, gv_s, rows_s, cols_s,
+                                 method=method, fill=fill,
+                                 row_chunks=row_chunks)
+
+    return run(jnp.asarray(raw), jnp.asarray(glt_flat_idx),
+               jnp.asarray(glt_valid), jnp.asarray(rows),
+               jnp.asarray(cols))

@@ -212,3 +212,30 @@ def test_halo_exchange_rows(eight_devices):
     np.testing.assert_array_equal(out[0, :2, 0], [0.0, 0.0])
     # last shard: bottom halo replicated row 63
     np.testing.assert_array_equal(out[7, -2:, 0], [63.0, 63.0])
+
+
+def test_sharded_orthowarp_matches_single(eight_devices, rng):
+    from hyperres.kernels.glt import prepare_glt
+    from hyperres.kernels.warp import orthowarp_taploop
+    from hyperres.parallel import make_mesh, sharded_orthowarp
+
+    raw = rng.random((30, 35, 9)).astype(np.float32)
+    ho, wo = 40, 44
+    glt = np.zeros((ho, wo, 2), dtype=np.int32)
+    vmask = rng.random((ho, wo)) > 0.25
+    glt[..., 0] = np.where(vmask, rng.integers(1, 36, (ho, wo)), 0)
+    glt[..., 1] = np.where(vmask, rng.integers(1, 31, (ho, wo)), 0)
+    flat_idx, valid = prepare_glt(glt, (30, 35))
+    rows = rng.uniform(-2, ho + 1, size=(48, 52)).astype(np.float32)
+    cols = rng.uniform(-2, wo + 1, size=(48, 52)).astype(np.float32)
+
+    want = np.asarray(orthowarp_taploop(
+        jnp.asarray(raw), jnp.asarray(flat_idx), jnp.asarray(valid),
+        jnp.asarray(rows), jnp.asarray(cols), method="cubic",
+        row_chunks=1))
+    mesh = make_mesh()
+    got = np.asarray(sharded_orthowarp(raw, flat_idx, valid, rows, cols,
+                                       mesh, method="cubic"))
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-3)
+    diffs = np.abs(got - want)
+    assert np.percentile(diffs, 99) < 1e-4
