@@ -215,6 +215,15 @@ def main():
         f"UTM product {utm_shape}")
 
     if os.environ.get("HYPERRES_BENCH_STAGES"):
+        # tunnel overhead reference: trivial program + tiny readback
+        tiny = jax.jit(lambda x: x * 2.0)
+        z = jnp.zeros((8, 8))
+        _ = np.asarray(tiny(z))
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(tiny(z))
+            log(f"tunnel noop roundtrip: {time.perf_counter() - t0:.3f}s")
+
         # diagnostic: time each stage as its own program
         def stage_ortho(raw_j, flat_j, valid_j, wr_j, wc_j):
             return orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,

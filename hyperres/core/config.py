@@ -17,6 +17,10 @@ class OrthoConfig:
 
     target_res_m: float = 60.0          # emit_proj.py:764
     band_chunk: int = 32                # emit_proj.py:969 (host IO chunking)
+    # fused GLT+warp kernel (single device program, no ortho
+    # intermediate); False falls back to the two-step gather+warp
+    fused_orthowarp: bool = True
+    orthowarp_row_chunks: int = 4       # HBM peak control for the tap loop
     resampling: str = "cubic"           # emit_proj.py:924 (-r cubic)
     write_xml: bool = True              # emit_proj.py:571
     save_geotiffs: bool = True          # emit_proj.py:577

@@ -34,7 +34,9 @@ from ..io.granule import EmitGranule
 from ..io.tiff import TiffReader, write_geotiff
 from ..io.xml_sidecar import write_xml_sidecar
 from ..kernels.glt import glt_gather, prepare_glt
-from ..kernels.warp import resample_to_grid
+from ..kernels.warp import (
+    orthowarp_taploop, resample_to_grid, source_index_field,
+)
 from . import products
 
 # EMIT L1B OBS band names (the 11 geometry bands,
@@ -196,21 +198,35 @@ def orthorectify_granule(
                [og.x0 + og.width * og.dx, og.y0 - og.height * og.dy],
                [og.x0, og.y0 - og.height * og.dy]]
 
+    wr_field, wc_field = source_index_field(g.ortho_grid, utm_grid)
+    wr_j = jnp.asarray(wr_field)
+    wc_j = jnp.asarray(wc_field)
+
     def _export_product(cube_raw: np.ndarray, kind: str,
                         envi_path: Path, hdr_extra: Dict) -> Tuple[np.ndarray, Grid]:
         """gather -> warp -> ENVI write; returns the UTM cube."""
-        t = time.perf_counter()
-        ortho = glt_gather(jnp.asarray(cube_raw, jnp.float32), flat_j,
-                           valid_j, fill_value=NO_DATA_VALUE)
-        ortho.block_until_ready()
-        timer.record(f"{kind}_gather", t,
-                     shape=list(ortho.shape))
-        t = time.perf_counter()
-        utm = resample_to_grid(ortho, g.ortho_grid, utm_grid,
-                               method=cfg.resampling, nodata=NO_DATA_VALUE,
-                               fill=NO_DATA_VALUE)
-        timer.record(f"{kind}_warp", t, shape=list(utm.shape),
-                     resampling=cfg.resampling)
+        if cfg.fused_orthowarp and cfg.resampling in ("cubic", "bilinear"):
+            t = time.perf_counter()
+            utm = np.asarray(orthowarp_taploop(
+                jnp.asarray(cube_raw, jnp.float32), flat_j, valid_j,
+                wr_j, wc_j, method=cfg.resampling, fill=NO_DATA_VALUE,
+                row_chunks=cfg.orthowarp_row_chunks))
+            timer.record(f"{kind}_fused_orthowarp", t,
+                         shape=list(utm.shape), resampling=cfg.resampling)
+        else:
+            t = time.perf_counter()
+            ortho = glt_gather(jnp.asarray(cube_raw, jnp.float32), flat_j,
+                               valid_j, fill_value=NO_DATA_VALUE)
+            ortho.block_until_ready()
+            timer.record(f"{kind}_gather", t,
+                         shape=list(ortho.shape))
+            t = time.perf_counter()
+            utm = resample_to_grid(ortho, g.ortho_grid, utm_grid,
+                                   method=cfg.resampling,
+                                   nodata=NO_DATA_VALUE,
+                                   fill=NO_DATA_VALUE)
+            timer.record(f"{kind}_warp", t, shape=list(utm.shape),
+                         resampling=cfg.resampling)
         t = time.perf_counter()
         envi.write_cube(
             envi_path, utm.astype(np.float32), utm_grid,
