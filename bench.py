@@ -154,7 +154,8 @@ def main():
                       Wr10, Wc10, key):
         # 1+2. fused GLT + cubic warp straight to the S2-anchored grid
         utm_cube = orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
-                                     method="cubic", fill=-9999.0)
+                                     method="cubic", fill=-9999.0,
+                                     row_chunks=64)
         # 3. SRF synthesis -> B2,B3,B4 at 60 m (MXU matmul)
         synth = srf_synthesize(utm_cube, W_j, fast=True)
         valid60 = (utm_cube[..., 0] != -9999.0)
@@ -227,7 +228,8 @@ def main():
         # diagnostic: time each stage as its own program
         def stage_ortho(raw_j, flat_j, valid_j, wr_j, wc_j):
             return orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
-                                     method="cubic", fill=-9999.0)
+                                     method="cubic", fill=-9999.0,
+                                     row_chunks=64)
 
         def stage_fit(utm_cube, W_j, s2rgb_j, key):
             synth = srf_synthesize(utm_cube, W_j, fast=True)

@@ -20,7 +20,7 @@ class OrthoConfig:
     # fused GLT+warp kernel (single device program, no ortho
     # intermediate); False falls back to the two-step gather+warp
     fused_orthowarp: bool = True
-    orthowarp_row_chunks: int = 4       # HBM peak control for the tap loop
+    orthowarp_row_chunks: int = 64      # HBM peak control for the tap loop
     resampling: str = "cubic"           # emit_proj.py:924 (-r cubic)
     write_xml: bool = True              # emit_proj.py:571
     save_geotiffs: bool = True          # emit_proj.py:577

@@ -73,7 +73,7 @@ def main():
     print(f"grids: ortho {oh}x{ow}, utm60 {utm60.height}x{utm60.width}",
           flush=True)
 
-    for chunks in (4, 2, 8):
+    for chunks in (128, 256):
         try:
             t0 = time.perf_counter()
             out = orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
