@@ -12,4 +12,18 @@ __version__ = "0.1.0"
 
 from . import core
 
-__all__ = ["core", "__version__"]
+# subpackages are imported lazily on attribute access to keep bare
+# `import hyperres` light
+_SUBMODULES = ("io", "kernels", "ortho", "spectral", "fusion", "coreg",
+               "tiling", "parallel", "catalog", "artifacts", "viz",
+               "testing", "pipeline", "batch", "cli", "utils", "native")
+
+
+def __getattr__(name):
+    if name in _SUBMODULES:
+        import importlib
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module 'hyperres' has no attribute {name!r}")
+
+
+__all__ = ["core", "__version__", *_SUBMODULES]

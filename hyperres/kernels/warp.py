@@ -536,6 +536,17 @@ def resample_to_grid(
         method_eff = method
 
     sep = separable_index_axes(src_grid, dst_grid)
+    if sep is not None and method_eff in ("bilinear", "cubic"):
+        # same-CRS transfers run as two MXU matmuls (identical weights
+        # and nodata renormalisation; see separable_resample_matmul)
+        Wr = jnp.asarray(separable_weight_matrix(
+            sep[0], src_grid.height, method_eff))
+        Wc = jnp.asarray(separable_weight_matrix(
+            sep[1], src_grid.width, method_eff))
+        out = separable_resample_matmul(arr, Wr, Wc, nodata=nodata,
+                                        fill=fill, fast=False)
+        out = np.asarray(out)
+        return out[..., 0] if squeeze else out
     if sep is not None:
         rows, cols = _broadcast_axes(jnp.asarray(sep[0]),
                                      jnp.asarray(sep[1]))
