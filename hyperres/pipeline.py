@@ -26,7 +26,7 @@ from .artifacts import (
     write_tile_metadata,
 )
 from .core.config import (
-    OrthoConfig, PolyFusionConfig, RidgeSRConfig, TilingConfig,
+    CoregConfig, OrthoConfig, PolyFusionConfig, RidgeSRConfig, TilingConfig,
 )
 from .core.constants import NO_DATA_VALUE
 from .core.grid import Grid
@@ -193,12 +193,17 @@ def run_pair_pipeline(
     fusion_config: PolyFusionConfig = PolyFusionConfig(),
     tiling_config: TilingConfig = TilingConfig(),
     sr_config: Optional[RidgeSRConfig] = RidgeSRConfig(),
+    coreg_config: Optional[CoregConfig] = None,
+    coregister: bool = False,
     s2_scale: float = 1e-4,
     max_tiles: Optional[int] = None,
     train_sr: bool = True,
 ) -> PairRunResult:
-    """Full pairs pipeline on local inputs: ortho -> overlap crop ->
-    OT+poly fusion -> paired tiling -> spectral-SR train/eval."""
+    """Full pairs pipeline on local inputs: ortho -> [coreg] -> overlap
+    crop -> OT+poly fusion -> paired tiling -> spectral-SR train/eval.
+    Coregistration (config #5's coreg step) runs when ``coregister`` is
+    set; failures are recorded and the pipeline continues with the
+    un-coregistered stack (the reference's attempts-ledger idiom)."""
     t_start = time.perf_counter()
     run = RunPaths.build(emit_nc=emit_nc_path, local_root=out_root)
     report = ReportWriter(run.local_report_md).start()
@@ -220,9 +225,31 @@ def run_pair_pipeline(
     if emit_utm_tif is None:
         raise ValueError("ortho run produced no data_utm_tif "
                          "(save_geotiffs disabled?)")
+
+    # 2a. optional coregistration of the S2 stack to the EMIT reference
+    coreg_info = None
+    s2_input = Path(s2_stack_tif)
+    if coregister:
+        from .coreg import coregister_s2_to_emit
+        s2_coreg_tif = run.local_s2 / "s2_coregistered.tif"
+        coreg_info = coregister_s2_to_emit(
+            emit_ref_tif=emit_utm_tif,
+            s2_tgt_tif=s2_stack_tif,
+            emit_nc_path=emit_nc_path,
+            out_s2_tif=s2_coreg_tif,
+            config=coreg_config or CoregConfig())
+        if coreg_info["final"].get("success"):
+            s2_input = s2_coreg_tif
+        report.section("Coregistration", [
+            f"success: {coreg_info['final'].get('success')}",
+            f"band: {coreg_info['final'].get('s2_code')}",
+            f"mean shift px: {coreg_info['final'].get('mean_shift_px')}",
+            f"attempts: {len(coreg_info['attempts'])}",
+        ])
+
     s2_overlap = run.local_s2 / "s2_overlap.tif"
     emit_overlap = run.local_emit / "emit_overlap.tif"
-    crop_to_overlap(s2_stack_tif, emit_utm_tif, s2_overlap, emit_overlap)
+    crop_to_overlap(s2_input, emit_utm_tif, s2_overlap, emit_overlap)
 
     # 3. fusion on the overlap
     r = envi.EnviReader(ortho_res.data_envi_bin.with_suffix(".hdr"))
@@ -330,4 +357,4 @@ def run_pair_pipeline(
         run=run, ortho_info=ortho_res.info, fusion=fusion,
         fused_tif=fused_tif, tiles=tiles, tile_records=records,
         sr_metrics=sr_metrics, report_path=run.local_report_md,
-        info={"total_seconds": total_s})
+        info={"total_seconds": total_s, "coreg": coreg_info})

@@ -94,3 +94,46 @@ def test_ortho_utm_psnr_vs_truth(pair_result, scene):
     s = sam(cube[interior], truth[interior])
     assert p > 25.0, f"PSNR too low: {p}"
     assert s < 0.1, f"SAM too high: {s}"
+
+
+def test_pipeline_with_coregistration(tmp_path, rng):
+    """Config #5 end-to-end including the coreg step: a shifted S2 stack
+    must be re-aligned before fusion."""
+    import cv2
+    from hyperres.core.config import CoregConfig, TilingConfig
+    from hyperres.io.tiff import TiffReader, write_geotiff
+
+    scene = make_scene(tmp_path / "scene", raw_shape=(90, 100), n_bands=24,
+                       s2_size=480, noise=0.001)
+    # shift the S2 stack by a known subpixel amount
+    with TiffReader(scene.s2_tif_path) as r:
+        stack = r.read().astype(np.float32)
+        grid = r.grid
+        descs = r.descriptions
+        nodata = r.nodata
+    dy, dx = 2.0, -3.0
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    shifted = np.stack([
+        cv2.warpAffine(b, M, (b.shape[1], b.shape[0]),
+                       flags=cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_REFLECT) for b in stack])
+    shifted_path = tmp_path / "s2_shifted.tif"
+    write_geotiff(shifted_path, shifted.astype(np.uint16), grid,
+                  nodata=nodata, descriptions=descs)
+
+    res = run_pair_pipeline(
+        scene.emit_nc_path, shifted_path, tmp_path / "out",
+        coregister=True,
+        coreg_config=CoregConfig(window_size=(256, 256), grid_res=120,
+                                 max_points=9, min_reliability=20),
+        tiling_config=TilingConfig(emit_tile_size=16, max_black_frac=0.1),
+        max_tiles=2, train_sr=False)
+    assert res.info["coreg"] is not None
+    final = res.info["coreg"]["final"]
+    assert final.get("success"), res.info["coreg"]
+    mdy, mdx = final["mean_shift_px"]
+    # accuracy bound: the EMIT reference itself carries GLT
+    # nearest-neighbour quantization (+-0.5 raw px = +-3 S2 px), so the
+    # recovered shift is within ~1.5 px of the injected one
+    assert abs(mdy - dy) < 1.5 and abs(mdx - dx) < 1.5
+    assert "Coregistration" in res.report_path.read_text()
