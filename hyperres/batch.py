@@ -22,7 +22,6 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable, Dict, List, Optional, Union
 
-from .artifacts import RunPaths
 from .core.config import (
     OrthoConfig, PolyFusionConfig, RidgeSRConfig, TilingConfig,
 )

@@ -14,11 +14,11 @@ convex; non-convex clip polygons are clipped against their convex hull
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..core.crs import aeqd_forward, aeqd_inverse, cea6933_forward, polygon_area
+from ..core.crs import aeqd_inverse, cea6933_forward, polygon_area
 
 
 @dataclass(frozen=True)

@@ -17,7 +17,7 @@ from __future__ import annotations
 import datetime as dt
 import tempfile
 from pathlib import Path
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 from ..core.config import PairSearchConfig
 from .clients import StacClient, best_asset_key, CatalogUnavailableError

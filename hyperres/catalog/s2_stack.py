@@ -16,11 +16,10 @@ with the reference's file-existence caching everywhere (:635-637).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple, Union
+from typing import Dict, List, Tuple, Union
 
 import numpy as np
 
-from ..core.grid import Grid
 from ..core.grid import snap_extent_to_anchor
 from ..io.tiff import TiffReader, write_geotiff
 from ..kernels.warp import resample_to_grid

@@ -23,9 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import CoregConfig
-from ..core.grid import Grid
 from ..kernels.phasecorr import phase_correlate_batch
-from ..kernels.warp import resample_to_grid, warp_interpolate
+from ..kernels.warp import warp_interpolate
 
 
 @dataclass

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from functools import partial
 from itertools import combinations_with_replacement
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
