@@ -113,8 +113,9 @@ def pallas_quantize_u16(
 
     def kernel(x_ref, v_ref, o_ref):
         q = jnp.clip(jnp.rint((x_ref[:] - lo) * scale), 0.0, 65535.0)
-        o_ref[:] = jnp.where(v_ref[:] > 0.0, q.astype(jnp.uint16),
-                             jnp.uint16(nodata_u16))
+        # Mosaic has no direct f32->u16 cast; go through int32
+        q16 = q.astype(jnp.int32).astype(jnp.uint16)
+        o_ref[:] = jnp.where(v_ref[:] > 0.0, q16, jnp.uint16(nodata_u16))
 
     out = pl.pallas_call(
         kernel,
