@@ -45,6 +45,7 @@ def _cmd_fuse(args) -> int:
         fusion_config=PolyFusionConfig(degree=args.degree),
         tiling_config=TilingConfig(emit_tile_size=args.tile_size,
                                    max_black_frac=args.max_black_frac),
+        coregister=args.coreg,
         max_tiles=args.max_tiles,
         train_sr=not args.no_sr)
     print(json.dumps({
@@ -127,6 +128,9 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--max-black-frac", type=float, default=0.0)
     f.add_argument("--max-tiles", type=int, default=None)
     f.add_argument("--no-sr", action="store_true")
+    f.add_argument("--coreg", action="store_true",
+                   help="coregister the S2 stack to the EMIT reference "
+                        "before fusion")
     f.set_defaults(fn=_cmd_fuse)
 
     t = sub.add_parser("tiles", help="paired tiling")

@@ -137,3 +137,30 @@ def test_pipeline_with_coregistration(tmp_path, rng):
     # recovered shift is within ~1.5 px of the injected one
     assert abs(mdy - dy) < 1.5 and abs(mdx - dx) < 1.5
     assert "Coregistration" in res.report_path.read_text()
+
+
+def test_fusion_deterministic(scene, tmp_path):
+    """Same inputs + seeds => identical fused product (kernel purity —
+    the determinism check SURVEY §5 asks for in place of sanitizers)."""
+    from hyperres.io import envi
+    from hyperres.io.tiff import TiffReader
+    from hyperres.ortho import orthorectify_granule
+    from hyperres.pipeline import fuse_pair
+    from hyperres.core.config import OrthoConfig
+
+    res = orthorectify_granule(
+        scene.emit_nc_path, tmp_path / "o", scene.s2_tif_path,
+        config=OrthoConfig(save_geotiffs=False, write_xml=False))
+    r = envi.EnviReader(res.data_envi_bin.with_suffix(".hdr"))
+    cube = r.read()
+    with TiffReader(scene.s2_tif_path) as t:
+        stack = t.read().astype(np.float32)
+        s2_grid = t.grid
+        nodata = t.nodata
+    a = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                  s2_scale=1e-4, s2_nodata=nodata)
+    b = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                  s2_scale=1e-4, s2_nodata=nodata)
+    np.testing.assert_array_equal(np.nan_to_num(a.fused_10m),
+                                  np.nan_to_num(b.fused_10m))
+    np.testing.assert_array_equal(a.coeffs, b.coeffs)
