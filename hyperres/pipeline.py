@@ -198,6 +198,7 @@ def run_pair_pipeline(
     s2_scale: float = 1e-4,
     max_tiles: Optional[int] = None,
     train_sr: bool = True,
+    predict_sr_cube: bool = False,
 ) -> PairRunResult:
     """Full pairs pipeline on local inputs: ortho -> [coreg] -> overlap
     crop -> OT+poly fusion -> paired tiling -> spectral-SR train/eval.
@@ -350,6 +351,33 @@ def run_pair_pipeline(
                 f"mean R2: {sr_metrics['r2_mean']:.4f}",
                 f"mean RMSE: {sr_metrics['rmse_mean']:.5f}",
             ])
+            if predict_sr_cube:
+                # predict the full 10 m EMIT-band cube and archive it as
+                # uint16 x10000 (Spectral_matching cells 8/27 +
+                # tiles_helpers quantization convention)
+                from .kernels.stats import quantize_reflectance_u16
+                import jax.numpy as _jnp
+                pred = model.predict_cube(
+                    np.moveaxis(s2_stack, 0, -1).transpose(2, 0, 1)
+                    * s2_scale,
+                    nodata=(s2_nodata * s2_scale
+                            if s2_nodata is not None else None))
+                valid_p = np.isfinite(pred)
+                q = np.asarray(quantize_reflectance_u16(
+                    _jnp.asarray(np.nan_to_num(pred, nan=0.0)),
+                    _jnp.asarray(valid_p)))
+                sr_tif = run.local_root / "emit_sr_10m.tif"
+                write_geotiff(
+                    sr_tif, q, s2_grid_c, nodata=65535,
+                    tags={"scale_factor": "0.0001",
+                          "band_indices":
+                              ",".join(str(i) for i in band_idx)},
+                    descriptions=[f"{float(wl[i]):.2f} nm"
+                                  for i in band_idx])
+                sr_metrics["sr_cube_tif"] = str(sr_tif)
+                report.section("Spectral SR 10 m product",
+                               [f"cube: {sr_tif.name} "
+                                f"({pred.shape[0]} bands)"])
 
     total_s = time.perf_counter() - t_start
     report.section("Timing", [f"total seconds: {total_s:.3f}"])

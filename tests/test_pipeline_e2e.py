@@ -164,3 +164,25 @@ def test_fusion_deterministic(scene, tmp_path):
     np.testing.assert_array_equal(np.nan_to_num(a.fused_10m),
                                   np.nan_to_num(b.fused_10m))
     np.testing.assert_array_equal(a.coeffs, b.coeffs)
+
+
+def test_sr_cube_product(scene, tmp_path):
+    from hyperres.core.config import TilingConfig, RidgeSRConfig
+    from hyperres.io.tiff import TiffReader
+    res = run_pair_pipeline(
+        scene.emit_nc_path, scene.s2_tif_path, tmp_path / "srrun",
+        tiling_config=TilingConfig(emit_tile_size=16, max_black_frac=0.1),
+        sr_config=RidgeSRConfig(degree=2, n_emit_bands=16),
+        max_tiles=1, train_sr=True, predict_sr_cube=True)
+    p = res.sr_metrics["sr_cube_tif"]
+    with TiffReader(p) as r:
+        assert r.count == 16
+        assert r.nodata == 65535
+        q = r.read()
+        assert q.dtype == np.uint16
+        # decoded reflectance plausible over valid pixels
+        valid = q[0] != 65535
+        refl = q[:, valid].astype(np.float32) * 1e-4
+        assert valid.mean() > 0.2
+        assert 0.0 <= refl.min() and refl.max() <= 1.0
+        assert "nm" in r.descriptions[0]
