@@ -230,3 +230,25 @@ def plot_tile_pair_simple(emit_tif: Union[str, Path],
                           axis=-1)
     return show_side_by_side(emit_rgb, s2_rgb, "EMIT tile", "S2 tile",
                              save_path=save_path)
+
+
+def plot_s2_truecolor(tif_path, save_path=None, title: str = "S2 truecolor",
+                      bands=(0, 1, 2), pmin: float = 2.0,
+                      pmax: float = 98.0):
+    """Stretched truecolor quicklook of an S2 visual/RGB GeoTIFF
+    (s2_data/s2_utils.py:281-327, :785-822)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rgb = load_s2_rgb_u8(tif_path, bands=bands).astype(np.float32)
+    out = np.stack([percentile_stretch(rgb[..., c], pmin, pmax)
+                    for c in range(3)], axis=-1)
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.imshow(out)
+    ax.set_title(title)
+    ax.axis("off")
+    if save_path:
+        fig.savefig(save_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out

@@ -79,3 +79,11 @@ def test_ridge_sr_save_load(tmp_path, rng):
     assert m2.cfg.alpha == 0.5 and m2.cfg.degree == 2
     np.testing.assert_allclose(m2.predict(X[:50]), m.predict(X[:50]),
                                atol=1e-6)
+
+
+def test_plot_s2_truecolor(tmp_path, scene):
+    from hyperres.viz import plot_s2_truecolor
+    out = plot_s2_truecolor(scene.s2_tif_path,
+                            save_path=tmp_path / "tc.png")
+    assert (tmp_path / "tc.png").exists()
+    assert out.shape[-1] == 3
