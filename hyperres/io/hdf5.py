@@ -414,7 +414,10 @@ class HDF5File:
         links: List[Tuple[str, int]] = []
         for mtype, body, _ in msgs:
             if mtype == 0x000C:
-                k, v = self._parse_attribute(body)
+                try:
+                    k, v = self._parse_attribute(body)
+                except (ValueError, KeyError, struct.error):
+                    continue  # e.g. object-reference attrs (REFERENCE_LIST)
                 grp.attrs[k] = v
             elif mtype == 0x0011:  # symbol table
                 btree_addr, heap_addr = struct.unpack("<QQ", body[:16])
@@ -529,7 +532,10 @@ class HDF5File:
             elif mtype == 0x000B:
                 filters = self._parse_filters(body)
             elif mtype == 0x000C:
-                k, v = self._parse_attribute(body)
+                try:
+                    k, v = self._parse_attribute(body)
+                except (ValueError, KeyError, struct.error):
+                    continue  # unsupported attr datatype: skip, don't fail
                 attrs[k] = v
         np_dtype = dtype.numpy_dtype() if dtype else np.dtype("f4")
         ds = Dataset(name=name, shape=shape, dtype=np_dtype, layout=layout,

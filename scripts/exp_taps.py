@@ -1,3 +1,4 @@
+import jax.numpy as jnp
 """Micro-profile: is the orthowarp dominated by gathers (taps) or by the
 slice-update machinery? Compare bilinear (4 taps) vs cubic (16 taps)."""
 import sys, time
@@ -50,6 +51,29 @@ def main():
     valid_j = jax.device_put(valid)
     wr_j = jax.device_put(wr); wc_j = jax.device_put(wc)
     jax.block_until_ready(raw_j)
+    raw16_j = jax.device_put(raw.astype(jnp.bfloat16))
+    jax.block_until_ready(raw16_j)
+    import jax.numpy as jnp2
+    for method, rj in (("cubic-bf16", raw16_j), ("cubic", raw_j),
+                       ("bilinear", raw_j)):
+        use = rj
+        m = method.split("-")[0]
+        out = orthowarp_taploop(use, flat_j, valid_j, wr_j, wc_j,
+                                method=m, fill=-9999.0, row_chunks=64)
+        jax.block_until_ready(out)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = orthowarp_taploop(use, flat_j, valid_j, wr_j, wc_j,
+                                    method=m, fill=-9999.0,
+                                    row_chunks=64)
+            jax.block_until_ready(out)
+            _ = np.asarray(out[:1, :1])
+            runs.append(time.perf_counter() - t0)
+        print(f"{method}: {[f'{t:.3f}' for t in runs]}", flush=True)
+        out.delete(); del out
+        time.sleep(2)
+    return
     for method in ("bilinear", "cubic"):
         out = orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
                                 method=method, fill=-9999.0, row_chunks=64)

@@ -87,3 +87,33 @@ def test_many_children_sorted_lookup(tmp_path, rng):
         assert len(f.variables) == 40
         for name, arr in arrays.items():
             np.testing.assert_array_equal(f.variables[name].read(), arr)
+
+
+def test_unsupported_attribute_datatype_skipped(tmp_path, rng, monkeypatch):
+    """Real netcdf-c granules carry attrs with datatypes outside the
+    subset (object references like REFERENCE_LIST); those must be
+    skipped, not crash the open."""
+    from hyperres.io import hdf5 as h5mod
+
+    w = HDF5Writer(tmp_path / "r.h5")
+    data = rng.random((4, 5)).astype(np.float32)
+    w.create_dataset("/x", data, attrs={"good": "keep", "bad": "poison"})
+    w.set_attrs("/", root_bad="poison", root_good="keep")
+    w.save()
+
+    orig = h5mod.HDF5File._parse_attribute
+
+    def flaky(self, body):
+        k, v = orig(self, body)
+        if v == "poison":
+            raise ValueError("Unsupported datatype class 7")
+        return k, v
+
+    monkeypatch.setattr(h5mod.HDF5File, "_parse_attribute", flaky)
+    with HDF5File(tmp_path / "r.h5") as f:
+        assert f.attrs.get("root_good") == "keep"
+        assert "root_bad" not in f.attrs
+        ds = f.variables["x"]
+        assert ds.attrs.get("good") == "keep"
+        assert "bad" not in ds.attrs
+        np.testing.assert_array_equal(ds.read(), data)
