@@ -170,8 +170,10 @@ class EmitGranule:
 
     def read_bands(self, b0: int, b1: int) -> np.ndarray:
         """Raw band slab [b0, b1) as float32 (raw_y, raw_x, nb), transposed
-        to (downtrack, crosstrack) order if the file stores (x, y)."""
-        blk = np.asarray(self._data.read()[:, :, b0:b1], dtype=np.float32)
+        to (downtrack, crosstrack) order if the file stores (x, y). Only
+        the intersecting HDF5 chunks are decoded."""
+        blk = np.asarray(self._data.read_band_range(b0, b1),
+                         dtype=np.float32)
         if self.transpose_raw_yx:
             blk = np.transpose(blk, (1, 0, 2))
         return blk

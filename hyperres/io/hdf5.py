@@ -85,6 +85,42 @@ class Dataset:
     def __getitem__(self, key) -> np.ndarray:
         return self.read()[key]
 
+    def read_band_range(self, b0: int, b1: int) -> np.ndarray:
+        """Hyperslab read of [..., b0:b1) along the last axis. For
+        chunked datasets only the intersecting chunks are decoded — the
+        access pattern of the 32-band streaming loop
+        (emit_proj.py:969-987) without decoding the full cube per slab."""
+        b0 = max(0, int(b0))
+        b1 = min(int(self.shape[-1]), int(b1))
+        if self.layout != "chunked":
+            return self.read()[..., b0:b1]
+        f = self._file
+        out_shape = self.shape[:-1] + (b1 - b0,)
+        out = np.zeros(out_shape, dtype=self.dtype)
+        if self.fillvalue:
+            out[...] = np.frombuffer(self.fillvalue, dtype=self.dtype)[0]
+        cb = self.chunk_shape[-1]
+        for offsets, addr, size, filter_mask in f._iter_chunks(
+                self.btree_addr, len(self.shape) + 1):
+            c0 = offsets[-1]
+            if c0 + cb <= b0 or c0 >= b1:
+                continue
+            raw = f._pread(addr, size)
+            raw = self._defilter(raw, filter_mask)
+            chunk = np.frombuffer(raw, dtype=self.dtype).reshape(
+                self.chunk_shape)
+            # intersection along the band axis
+            s0 = max(b0, c0)
+            s1 = min(b1, c0 + cb, self.shape[-1])
+            sl = tuple(
+                slice(o, min(o + c, s))
+                for o, c, s in zip(offsets[:-1], self.chunk_shape[:-1],
+                                   self.shape[:-1]))
+            csl = tuple(slice(0, s.stop - s.start) for s in sl)
+            out[sl + (slice(s0 - b0, s1 - b0),)] = \
+                chunk[csl + (slice(s0 - c0, s1 - c0),)]
+        return out
+
     def read(self) -> np.ndarray:
         f = self._file
         if self.layout == "compact":

@@ -117,3 +117,22 @@ def test_unsupported_attribute_datatype_skipped(tmp_path, rng, monkeypatch):
         assert ds.attrs.get("good") == "keep"
         assert "bad" not in ds.attrs
         np.testing.assert_array_equal(ds.read(), data)
+
+
+def test_read_band_range_chunked(tmp_path, rng):
+    w = HDF5Writer(tmp_path / "br.h5")
+    data = rng.normal(size=(20, 24, 37)).astype(np.float32)
+    w.create_dataset("/reflectance", data, chunks=(8, 8, 8),
+                     compression="deflate")
+    w.create_dataset("/contig", data)
+    w.save()
+    with HDF5File(tmp_path / "br.h5") as f:
+        ds = f.variables["reflectance"]
+        np.testing.assert_array_equal(ds.read_band_range(5, 19),
+                                      data[..., 5:19])
+        np.testing.assert_array_equal(ds.read_band_range(0, 37), data)
+        np.testing.assert_array_equal(ds.read_band_range(32, 99),
+                                      data[..., 32:])
+        dc = f.variables["contig"]
+        np.testing.assert_array_equal(dc.read_band_range(2, 6),
+                                      data[..., 2:6])
