@@ -94,6 +94,21 @@ def _cmd_scene(args) -> int:
     return 0
 
 
+def _cmd_batch(args) -> int:
+    import json as _json
+
+    from .batch import BatchPairDriver, PairJob
+
+    jobs_doc = _json.loads(Path(args.jobs).read_text())
+    jobs = [PairJob(j["pair_id"], j["emit_nc_path"], j["s2_stack_tif"],
+                    j.get("meta", {})) for j in jobs_doc]
+    driver = BatchPairDriver(args.out_dir, max_retries=args.retries)
+    manifest = driver.run(jobs, resume=not args.no_resume)
+    print(_json.dumps({"summary": driver.summary(),
+                       "manifest": str(driver.manifest_path)}, indent=2))
+    return 0 if driver.summary().get("failed", 0) == 0 else 1
+
+
 def _cmd_info(args) -> int:
     from .viz import print_raster_geometry
 
@@ -156,6 +171,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--bands", type=int, default=64)
     s.add_argument("--s2-size", type=int, default=420)
     s.set_defaults(fn=_cmd_scene)
+
+    b = sub.add_parser("batch", help="run the pair pipeline over a JSON "
+                                     "job list (resumable)")
+    b.add_argument("jobs", help="JSON list of {pair_id, emit_nc_path, "
+                                "s2_stack_tif}")
+    b.add_argument("out_dir")
+    b.add_argument("--retries", type=int, default=1)
+    b.add_argument("--no-resume", action="store_true")
+    b.set_defaults(fn=_cmd_batch)
 
     i = sub.add_parser("info", help="raster geometry summaries")
     i.add_argument("rasters", nargs="+")

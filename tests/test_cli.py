@@ -49,3 +49,18 @@ def test_cli_fuse_and_tiles(scene_dir, tmp_path, capsys):
     assert rc == 0
     doc = json.loads(capsys.readouterr().out)
     assert doc["n_tiles"] >= 1
+
+
+def test_cli_batch(scene_dir, tmp_path, capsys):
+    nc = next(scene_dir.glob("*.nc"))
+    jobs = [{"pair_id": "p1", "emit_nc_path": str(nc),
+             "s2_stack_tif": str(scene_dir / "s2_stack_10m.tif")}]
+    jobs_path = tmp_path / "jobs.json"
+    jobs_path.write_text(json.dumps(jobs))
+    rc = main(["batch", str(jobs_path), str(tmp_path / "batchout")])
+    # the default tiling (tile 100) finds no tiles on this small scene,
+    # but the pipeline still completes
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out)
+    assert doc["summary"]["done"] == 1
+    assert (tmp_path / "batchout" / "pairs_manifest.json").exists()
