@@ -37,7 +37,9 @@ from .kernels.stats import shared_percentile_stretch
 from .kernels.warp import resample_to_grid
 from .ortho import orthorectify_granule
 from .spectral import builtin_srf, crop_to_overlap
-from .kernels.srf import build_srf_weight_matrix, srf_synthesize
+from .kernels.srf import (
+    build_box_weight_matrix, build_srf_weight_matrix, srf_synthesize,
+)
 from .tiling import find_valid_paired_tiles, save_tile_pair, write_emit_b32_tile
 
 import jax.numpy as jnp
@@ -95,15 +97,24 @@ def fuse_pair(
     s2_nodata: Optional[float] = None,
     config: PolyFusionConfig = PolyFusionConfig(),
     platform: str = "S2A",
+    synth_method: str = "srf",
 ) -> FusionResult:
     """The 4-phase fusion: returns the OT+poly-matched simulated S2 RGB at
-    10 m plus the 60 m view and the fitted coefficients."""
+    10 m plus the 60 m view and the fitted coefficients.
+    ``synth_method``: 'srf' (SRF integral, synth.py:9-45) or 'box'
+    (rectangular band-pass, demo cell 58)."""
     cfg = config
     t0 = time.perf_counter()
 
-    # Phase 1: SRF synthesis of B2, B3, B4 at 60 m
-    srf = builtin_srf(platform, bands=["B2", "B3", "B4"])
-    W, names, _ = build_srf_weight_matrix(emit_wavelengths, srf, good_mask)
+    # Phase 1: band synthesis of B2, B3, B4 at 60 m
+    if synth_method == "box":
+        W, names, _ = build_box_weight_matrix(
+            emit_wavelengths, bands=["B2", "B3", "B4"],
+            good_mask=good_mask)
+    else:
+        srf = builtin_srf(platform, bands=["B2", "B3", "B4"])
+        W, names, _ = build_srf_weight_matrix(emit_wavelengths, srf,
+                                              good_mask)
     synth = np.asarray(srf_synthesize(
         jnp.asarray(emit_cube_hwb, jnp.float32), jnp.asarray(W)))
     emit_sim_60m = np.moveaxis(synth, -1, 0)  # (3=B2,B3,B4, H, W)

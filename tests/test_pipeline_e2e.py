@@ -186,3 +186,28 @@ def test_sr_cube_product(scene, tmp_path):
         assert valid.mean() > 0.2
         assert 0.0 <= refl.min() and refl.max() <= 1.0
         assert "nm" in r.descriptions[0]
+
+
+def test_fuse_pair_box_variant(scene, tmp_path):
+    """The rectangular band-pass synthesis variant (demo cell 58) drives
+    the same fusion path."""
+    from hyperres.io import envi
+    from hyperres.io.tiff import TiffReader
+    from hyperres.ortho import orthorectify_granule
+    from hyperres.pipeline import fuse_pair
+    from hyperres.core.config import OrthoConfig
+
+    res = orthorectify_granule(
+        scene.emit_nc_path, tmp_path / "bo", scene.s2_tif_path,
+        config=OrthoConfig(save_geotiffs=False, write_xml=False))
+    r = envi.EnviReader(res.data_envi_bin.with_suffix(".hdr"))
+    cube = r.read()
+    with TiffReader(scene.s2_tif_path) as t:
+        stack = t.read().astype(np.float32)
+        s2_grid = t.grid
+        nodata = t.nodata
+    out = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                    s2_scale=1e-4, s2_nodata=nodata, synth_method="box")
+    valid = np.isfinite(out.fused_10m).all(axis=-1)
+    assert valid.mean() > 0.3
+    assert out.info["n_valid_60m"] > 500
