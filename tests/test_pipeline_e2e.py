@@ -188,15 +188,19 @@ def test_sr_cube_product(scene, tmp_path):
         assert "nm" in r.descriptions[0]
 
 
-def test_fuse_pair_box_variant(scene, tmp_path):
+def test_fuse_pair_box_variant(tmp_path):
     """The rectangular band-pass synthesis variant (demo cell 58) drives
-    the same fusion path."""
+    the same fusion path. Needs a spectral axis dense enough that each
+    rectangular window holds >= 2 samples (at 48 bands the variant
+    correctly yields no valid bands, like the reference returning None)."""
     from hyperres.io import envi
     from hyperres.io.tiff import TiffReader
     from hyperres.ortho import orthorectify_granule
     from hyperres.pipeline import fuse_pair
     from hyperres.core.config import OrthoConfig
 
+    scene = make_scene(tmp_path / "boxscene", raw_shape=(60, 70),
+                       n_bands=200, s2_size=300)
     res = orthorectify_granule(
         scene.emit_nc_path, tmp_path / "bo", scene.s2_tif_path,
         config=OrthoConfig(save_geotiffs=False, write_xml=False))
