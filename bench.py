@@ -42,7 +42,7 @@ def main():
     from hyperres.core.config import OTConfig
     from hyperres.core.grid import s2_anchored_target_grid
     from hyperres.fusion.sampling import sample_valid_pixels_device
-    from hyperres.kernels.glt import glt_gather, prepare_glt
+    from hyperres.kernels.glt import prepare_glt
     from hyperres.kernels.lstsq import polyfit, polyval_channels
     from hyperres.kernels.sinkhorn import ot_barycentric_targets
     from hyperres.kernels.srf import build_srf_weight_matrix, srf_synthesize

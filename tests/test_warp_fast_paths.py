@@ -110,3 +110,18 @@ def test_fused_orthowarp_matches_two_step(rng):
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-3)
     diffs = np.abs(got - want)
     assert np.percentile(diffs, 99) < 1e-4
+
+
+def test_band_chunked_matches_plain(rng):
+    img = rng.normal(size=(30, 34, 11)).astype(np.float32)
+    img[5:7, 8:10, :] = -9999.0
+    rows = rng.uniform(0, 29, size=(20, 21)).astype(np.float32)
+    cols = rng.uniform(0, 33, size=(20, 21)).astype(np.float32)
+    a = np.asarray(kw.warp_interpolate(
+        jnp.asarray(img), jnp.asarray(rows), jnp.asarray(cols),
+        nodata=-9999.0, method="cubic"))
+    b = np.asarray(kw.warp_interpolate_chunked(
+        jnp.asarray(img), jnp.asarray(rows), jnp.asarray(cols),
+        nodata=-9999.0, method="cubic", band_chunk=4))
+    np.testing.assert_allclose(a, b, rtol=0, atol=5e-3)
+    assert np.percentile(np.abs(a - b), 99) < 1e-4
