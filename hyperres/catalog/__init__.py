@@ -5,6 +5,7 @@ from .geometry import (
 from .clients import (
     CmrClient, StacClient, CatalogUnavailableError, best_asset_key,
     choose_nearest, choose_best_emit_per_date, granule_datetime,
+    search_emit_granules,
 )
 from .cloud import count_cloud_pixels, scl_metrics
 from .pairing import (
@@ -16,6 +17,7 @@ __all__ = [
     "point_buffer_bbox",
     "CmrClient", "StacClient", "CatalogUnavailableError", "best_asset_key",
     "choose_nearest", "choose_best_emit_per_date", "granule_datetime",
+    "search_emit_granules",
     "count_cloud_pixels", "scl_metrics",
     "find_best_s2_for_emit_item", "local_solar_time_hours",
     "circ_hours_diff",

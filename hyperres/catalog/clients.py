@@ -240,3 +240,21 @@ def best_asset_key(assets: dict, base: str) -> Optional[str]:
         if k_low.startswith(base.lower()) and not k_low.endswith("-jp2"):
             return k
     return None
+
+
+def search_emit_granules(
+    client: CmrClient,
+    lon: float,
+    lat: float,
+    buffer_m: float,
+    temporal: Tuple[str, str],
+    cloud_cover: Optional[Tuple[float, float]] = None,
+) -> List[dict]:
+    """Point + geodesic-buffer EMIT search — the reference's search
+    convenience (EMIT_utils.py:51-88): AEQD buffer bbox around the point,
+    then a CMR granule query."""
+    from .geometry import point_buffer_bbox
+
+    bbox = point_buffer_bbox(lon, lat, buffer_m)
+    return client.search(bbox=bbox, temporal=temporal,
+                         cloud_cover=cloud_cover)

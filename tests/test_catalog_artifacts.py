@@ -334,3 +334,24 @@ def test_tif_geo_summary(tmp_path):
     assert s["crs"] == "EPSG:32633"
     assert s["nodata"] == -1
     assert 13.0 < s["centroid_wgs84"]["lon"] < 14.0
+
+
+def test_search_emit_granules_buffer():
+    from hyperres.catalog import search_emit_granules
+    captured = {}
+
+    def fetch(url, params=None, **kw):
+        captured.update(params)
+        return {"items": []}
+
+    c = CmrClient(fetch_json=fetch)
+    search_emit_granules(c, 13.4, 52.5, 10000.0,
+                         temporal=("2023-08-01T00:00:00Z",
+                                   "2023-08-31T00:00:00Z"),
+                         cloud_cover=(0, 50))
+    bbox = [float(v) for v in captured["bounding_box"].split(",")]
+    assert bbox[0] < 13.4 < bbox[2]
+    assert bbox[1] < 52.5 < bbox[3]
+    assert 0.25 < bbox[2] - bbox[0] < 0.35
+    assert captured["cloud_cover"] == "0,50"
+    assert "2023-08-01" in captured["temporal"]
