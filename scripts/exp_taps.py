@@ -6,10 +6,7 @@ import numpy as np
 
 def main():
     import jax
-    sys.argv = [sys.argv[0], "1.0"]
-    sys.path.insert(0, "scripts")
-    from exp_orthowarp import main as _unused  # noqa: F401  (reuse setup below)
-    # inline minimal setup (copy of exp_orthowarp scene build)
+    # inline minimal setup (same scene build as exp_orthowarp)
     from hyperres.core.crs import CRS
     from hyperres.core.grid import Grid, s2_anchored_target_grid
     from hyperres.kernels.glt import prepare_glt
@@ -73,23 +70,7 @@ def main():
         print(f"{method}: {[f'{t:.3f}' for t in runs]}", flush=True)
         out.delete(); del out
         time.sleep(2)
-    return
-    for method in ("bilinear", "cubic"):
-        out = orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
-                                method=method, fill=-9999.0, row_chunks=64)
-        jax.block_until_ready(out)
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            out = orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
-                                    method=method, fill=-9999.0,
-                                    row_chunks=64)
-            jax.block_until_ready(out)
-            _ = np.asarray(out[:1, :1])
-            runs.append(time.perf_counter() - t0)
-        print(f"{method}: {[f'{t:.3f}' for t in runs]}", flush=True)
-        out.delete(); del out
-        time.sleep(2)
+
 
 if __name__ == "__main__":
     main()
