@@ -175,22 +175,58 @@ def coregister_local(
               "window": [wx, wy], "grid_res": cfg.grid_res})
 
 
-def deshift(
-    tgt_stack: np.ndarray,
-    result: CoregResult,
-    nodata: Optional[float] = None,
-    method: str = "cubic",
-) -> np.ndarray:
-    """Apply the fitted shift model: resample the target at
-    (r + dy(r, c), c + dx(r, c)) — the correct_shifts equivalent.
-    tgt_stack (B, H, W) -> (B, H, W) float32."""
+def shift_field(result: CoregResult, shape_hw,
+                local_residuals: bool = False,
+                idw_power: float = 2.0,
+                idw_radius: Optional[float] = None):
+    """Evaluate the fitted shift model over an (H, W) grid: the affine
+    component, optionally plus inverse-distance-weighted interpolation of
+    the tie-point residuals — the non-affine local deshift corresponding
+    to AROSICS' tie-point shift field. Returns (dy, dx) float32 (H, W)."""
     assert result.affine is not None
-    b, h, w = tgt_stack.shape
+    h, w = shape_hw
     rr, cc = np.meshgrid(np.arange(h, dtype=np.float32),
                          np.arange(w, dtype=np.float32), indexing="ij")
     A = result.affine
     dy = A[0, 0] * rr + A[0, 1] * cc + A[0, 2]
     dx = A[1, 0] * rr + A[1, 1] * cc + A[1, 2]
+    used = [t for t in result.tie_points if t.used]
+    if local_residuals and len(used) >= 3:
+        pr = np.array([t.row for t in used], dtype=np.float32)
+        pc = np.array([t.col for t in used], dtype=np.float32)
+        res_y = np.array([t.dy - (A[0, 0] * t.row + A[0, 1] * t.col
+                                  + A[0, 2]) for t in used],
+                         dtype=np.float32)
+        res_x = np.array([t.dx - (A[1, 0] * t.row + A[1, 1] * t.col
+                                  + A[1, 2]) for t in used],
+                         dtype=np.float32)
+        d2 = ((rr[..., None] - pr) ** 2 + (cc[..., None] - pc) ** 2)
+        if idw_radius is not None:
+            wgt = np.where(d2 <= idw_radius ** 2,
+                           1.0 / (d2 ** (idw_power / 2.0) + 1.0), 0.0)
+        else:
+            wgt = 1.0 / (d2 ** (idw_power / 2.0) + 1.0)
+        wsum = wgt.sum(-1) + 1e-12
+        dy = dy + (wgt * res_y).sum(-1) / wsum
+        dx = dx + (wgt * res_x).sum(-1) / wsum
+    return dy.astype(np.float32), dx.astype(np.float32)
+
+
+def deshift(
+    tgt_stack: np.ndarray,
+    result: CoregResult,
+    nodata: Optional[float] = None,
+    method: str = "cubic",
+    local_residuals: bool = False,
+) -> np.ndarray:
+    """Apply the fitted shift model: resample the target at
+    (r + dy(r, c), c + dx(r, c)) — the correct_shifts equivalent.
+    ``local_residuals`` adds the IDW tie-point residual field (AROSICS'
+    local, non-affine deshift). tgt_stack (B, H, W) -> (B, H, W)."""
+    b, h, w = tgt_stack.shape
+    rr, cc = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    dy, dx = shift_field(result, (h, w), local_residuals=local_residuals)
     rows = rr + dy
     cols = cc + dx
     hwb = np.moveaxis(tgt_stack, 0, -1).astype(np.float32)

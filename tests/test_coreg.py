@@ -152,3 +152,42 @@ def test_granule_coreg_end_to_end(tmp_path, rng):
     err_before = np.abs(s2_band[inner] - base[inner]).mean()
     err_after = np.abs(fixed[0][inner] - base[inner]).mean()
     assert err_after < 0.3 * err_before
+
+
+def test_local_residual_deshift_beats_affine(rng):
+    """A quadratic (non-affine) shift field: the IDW residual deshift
+    must align better than the affine-only model."""
+    img = smooth_image(rng, 560, 560, scale=14)
+    h, w = img.shape
+    rr, cc = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    # smooth quadratic shift field, a few pixels amplitude
+    dy_true = 2.0 + 3.0 * ((cc / w) - 0.5) ** 2
+    dx_true = -1.0 - 2.5 * ((rr / h) - 0.5) ** 2
+    import cv2
+    tgt = cv2.remap(img, (cc - dx_true).astype(np.float32),
+                    (rr - dy_true).astype(np.float32),
+                    interpolation=cv2.INTER_CUBIC,
+                    borderMode=cv2.BORDER_REFLECT)
+
+    cfg = CoregConfig(window_size=(128, 128), grid_res=80, max_points=49,
+                      min_reliability=40)
+    res = coregister_local(img, tgt, config=cfg)
+    assert res.success
+    assert res.info["n_used"] >= 9
+
+    fixed_affine = deshift(tgt[None], res)[0]
+    from hyperres.coreg import shift_field
+    fixed_local = deshift(tgt[None], res, local_residuals=True)[0]
+    inner = (slice(70, -70), slice(70, -70))
+    err_affine = np.abs(fixed_affine[inner] - img[inner]).mean()
+    err_local = np.abs(fixed_local[inner] - img[inner]).mean()
+    err_before = np.abs(tgt[inner] - img[inner]).mean()
+    assert err_local < err_before
+    assert err_local < err_affine * 0.9  # local field clearly better
+
+    dy, dx = shift_field(res, img.shape, local_residuals=True)
+    # recovered field approximates the truth at interior points
+    m = (slice(100, -100), slice(100, -100))
+    assert np.abs(dy[m] - dy_true[m]).mean() < 0.5
+    assert np.abs(dx[m] - dx_true[m]).mean() < 0.5
