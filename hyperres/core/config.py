@@ -104,6 +104,9 @@ class CoregConfig:
     resamp_calc: str = "cubic"
     resamp_deshift: str = "cubic"
     cliptoextent: bool = True
+    # non-affine deshift: add IDW interpolation of tie-point residuals
+    # on top of the affine shift model (AROSICS' local shift field)
+    local_residuals: bool = False
 
 
 @dataclass(frozen=True)

@@ -108,7 +108,8 @@ def coregister_s2_to_emit(
                 continue
 
             shifted = deshift(s2_stack, res, nodata=nodata_s2,
-                              method=cfg.resamp_deshift)
+                              method=cfg.resamp_deshift,
+                              local_residuals=cfg.local_residuals)
             out_dtype = np.uint16 if np.issubdtype(
                 np.asarray(s2_stack).dtype, np.integer) else np.float32
             write_geotiff(

@@ -136,3 +136,32 @@ def test_read_band_range_chunked(tmp_path, rng):
         dc = f.variables["contig"]
         np.testing.assert_array_equal(dc.read_band_range(2, 6),
                                       data[..., 2:6])
+
+
+def test_superblock_v2_read_path(tmp_path, rng):
+    """Exercise the v2 superblock branch: rewrite a v0 file's superblock
+    as version 2 pointing at the same root object header (all internal
+    addresses are absolute, so the rest of the file is untouched)."""
+    import struct
+
+    w = HDF5Writer(tmp_path / "v0.h5")
+    data = rng.normal(size=(6, 7)).astype(np.float32)
+    w.create_dataset("/x", data, attrs={"units": "nm"})
+    w.set_attrs("/", title="v2 test")
+    w.save()
+
+    with HDF5File(tmp_path / "v0.h5") as f0:
+        root_addr = f0._root_header_addr
+        want = f0.variables["x"].read()
+
+    blob = bytearray((tmp_path / "v0.h5").read_bytes())
+    sb2 = struct.pack("<8sBBBB4Q", b"\x89HDF\r\n\x1a\n", 2, 8, 8, 0,
+                      0, 0xFFFFFFFFFFFFFFFF, len(blob), root_addr)
+    sb2 += b"\x00\x00\x00\x00"  # checksum (not verified by the reader)
+    blob[:len(sb2)] = sb2
+    (tmp_path / "v2.h5").write_bytes(bytes(blob))
+
+    with HDF5File(tmp_path / "v2.h5") as f2:
+        np.testing.assert_array_equal(f2.variables["x"].read(), want)
+        assert f2.attrs["title"] == "v2 test"
+        assert f2.variables["x"].attrs["units"] == "nm"
