@@ -153,3 +153,21 @@ def test_mask_granule_quality_and_band_mask(tmp_path, rng):
         assert bm.shape == (h, w, 285)
         want = np.unpackbits(packed, axis=-1)[:, :, :285]
         np.testing.assert_array_equal(bm, want)
+
+
+def test_radiance_product_detection(tmp_path, rng):
+    from hyperres.io.hdf5 import HDF5Writer
+    wgr = HDF5Writer(tmp_path / "rdn.nc")
+    wgr.create_dataset("/radiance", rng.random((6, 7, 4)).astype(np.float32))
+    wgr.create_group("/sensor_band_parameters")
+    wgr.create_dataset("/sensor_band_parameters/wavelengths",
+                       np.linspace(400, 900, 4).astype(np.float32),
+                       attrs={"units": "nanometers"})
+    wgr.create_group("/location")
+    wgr.create_dataset("/location/glt_x", np.ones((6, 7)))
+    wgr.create_dataset("/location/glt_y", np.ones((6, 7)))
+    wgr.set_attrs("/", geotransform=np.array([0., 1., 0., 0., 0., -1.]))
+    wgr.save()
+    with EmitGranule(tmp_path / "rdn.nc") as g:
+        assert g.product == "L1B_RDN"
+        assert g.data_var == "radiance"
