@@ -1,4 +1,5 @@
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -144,3 +145,63 @@ def test_loc_geotiff_decode_roundtrip(result, scene):
     valid = q[0] != 0
     assert valid.sum() > 100
     assert 10.0 < lon[valid].mean() < 18.0
+
+
+def test_obs_export_branch(scene, tmp_path, rng):
+    """OBS granule export: 11 geometry bands orthorectified, warped, and
+    quantized with per-band robust ranges (emit_proj.py:1191-1280)."""
+    from hyperres.io.hdf5 import HDF5Writer
+    from hyperres.io.granule import EmitGranule
+    from hyperres.ortho import OBS_BAND_NAMES
+
+    # fabricate an OBS granule sharing the scene's GLT/geometry
+    with EmitGranule(scene.emit_nc_path) as g:
+        h, w = g.raw_height, g.raw_width
+        glt_x = g.glt[..., 0].astype(np.float64)
+        glt_y = g.glt[..., 1].astype(np.float64)
+        gt = np.array(g.geotransform)
+    nb = 11
+    obs = np.stack([np.full((h, w), 100.0 * (i + 1))
+                    + rng.normal(size=(h, w))
+                    for i in range(nb)], axis=-1).astype(np.float32)
+    wgr = HDF5Writer(tmp_path / "obs.nc")
+    wgr.create_dataset("/radiance", obs)  # OBS files expose 11 bands
+    wgr.create_group("/sensor_band_parameters")
+    wgr.create_dataset("/sensor_band_parameters/wavelengths",
+                       np.arange(nb, dtype=np.float32) + 1.0,
+                       attrs={"units": "nanometers"})
+    wgr.create_group("/location")
+    wgr.create_dataset("/location/glt_x", glt_x)
+    wgr.create_dataset("/location/glt_y", glt_y)
+    wgr.set_attrs("/", geotransform=gt)
+    wgr.save()
+
+    res = orthorectify_granule(
+        scene.emit_nc_path, tmp_path / "obs_out", scene.s2_tif_path,
+        obs_file=tmp_path / "obs.nc",
+        config=OrthoConfig(write_xml=False))
+    assert "obs_error" not in res.info, res.info.get("obs_error")
+    assert "obs_envi_bin" in res.info["outputs"]
+    assert "obs_utm_tif" in res.info["outputs"]
+
+    from hyperres.io import envi
+    from hyperres.io.tiff import TiffReader
+    r = envi.EnviReader(
+        Path(res.info["outputs"]["obs_envi_bin"]).with_suffix(".hdr"))
+    cube = r.read()
+    assert cube.shape[-1] == nb
+    valid = cube[..., 0] != -9999.0
+    # band i centred near 100*(i+1)
+    for i in (0, 5, 10):
+        assert abs(np.median(cube[..., i][valid]) - 100.0 * (i + 1)) < 5.0
+
+    with TiffReader(res.info["outputs"]["obs_utm_tif"]) as t:
+        assert t.count == nb
+        assert t.descriptions[0] == OBS_BAND_NAMES[0]
+        q = t.read()
+        # decode band 3 via its scale/offset tags
+        s3 = float(t.band_tags[3]["scale"])
+        o3 = float(t.band_tags[3]["offset"])
+        dec = q[3].astype(np.float64) * s3 + o3
+        vm = q[3] != 0
+        assert abs(np.median(dec[vm]) - 400.0) < 5.0
