@@ -47,7 +47,8 @@ def _cmd_fuse(args) -> int:
                                    max_black_frac=args.max_black_frac),
         coregister=args.coreg,
         max_tiles=args.max_tiles,
-        train_sr=not args.no_sr)
+        train_sr=not args.no_sr,
+        predict_sr_cube=args.sr_cube)
     print(json.dumps({
         "fused_tif": str(res.fused_tif),
         "report": str(res.report_path),
@@ -146,6 +147,9 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--coreg", action="store_true",
                    help="coregister the S2 stack to the EMIT reference "
                         "before fusion")
+    f.add_argument("--sr-cube", action="store_true",
+                   help="also predict and archive the full 10 m "
+                        "spectral-SR cube")
     f.set_defaults(fn=_cmd_fuse)
 
     t = sub.add_parser("tiles", help="paired tiling")

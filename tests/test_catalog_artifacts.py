@@ -355,3 +355,14 @@ def test_search_emit_granules_buffer():
     assert 0.25 < bbox[2] - bbox[0] < 0.35
     assert captured["cloud_cover"] == "0,50"
     assert "2023-08-01" in captured["temporal"]
+
+
+def test_write_archive_map(tmp_path):
+    from hyperres.artifacts import ReportWriter, write_archive_map
+    rep = ReportWriter(tmp_path / "r.md").start()
+    p = write_archive_map(tmp_path / "archive_map.json",
+                          {"emit": "/drive/emit", "s2": "/drive/s2"},
+                          report=rep)
+    doc = json.loads(p.read_text())
+    assert doc["emit"] == "/drive/emit"
+    assert "Archive map" in (tmp_path / "r.md").read_text()
