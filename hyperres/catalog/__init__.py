@@ -10,6 +10,7 @@ from .clients import (
 from .cloud import count_cloud_pixels, scl_metrics
 from .pairing import (
     find_best_s2_for_emit_item, local_solar_time_hours, circ_hours_diff,
+    discover_pairs,
 )
 
 __all__ = [
@@ -20,5 +21,5 @@ __all__ = [
     "search_emit_granules",
     "count_cloud_pixels", "scl_metrics",
     "find_best_s2_for_emit_item", "local_solar_time_hours",
-    "circ_hours_diff",
+    "circ_hours_diff", "discover_pairs",
 ]

@@ -17,7 +17,7 @@ from __future__ import annotations
 import datetime as dt
 import tempfile
 from pathlib import Path
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 from ..core.config import PairSearchConfig
 from .clients import StacClient, best_asset_key, CatalogUnavailableError
@@ -163,3 +163,40 @@ def find_best_s2_for_emit_item(
         "n_prefilter": len(cand),
     }
     return best["item"], best["cloud_frac"], dbg
+
+
+def discover_pairs(
+    *,
+    cmr,
+    stac: StacClient,
+    bbox,
+    temporal,
+    config: PairSearchConfig = PairSearchConfig(),
+    scl_fetcher: Optional[Callable] = None,
+    workdir=None,
+) -> List[Dict]:
+    """The pair-discovery loop (demo notebook cells 20-24): CMR search ->
+    least-cloudy EMIT granule per date -> best S2 match per granule ->
+    keep pairs whose SCL cloud fraction is within
+    ``config.max_s2_cloud_frac``. Returns
+    [{emit_item, s2_item, cloud_frac, debug}] sorted by date."""
+    from .clients import choose_best_emit_per_date
+
+    items = cmr.search(bbox=bbox, temporal=temporal)
+    best_per_date = choose_best_emit_per_date(items)
+    pairs: List[Dict] = []
+    for date in sorted(best_per_date):
+        emit_item = best_per_date[date]
+        s2_item, cloud_frac, dbg = find_best_s2_for_emit_item(
+            emit_item, stac=stac, config=config,
+            scl_fetcher=scl_fetcher, workdir=workdir)
+        rec = {"date": date, "emit_item": emit_item, "s2_item": s2_item,
+               "cloud_frac": cloud_frac, "debug": dbg}
+        if s2_item is not None and cloud_frac is not None \
+                and cloud_frac <= config.max_s2_cloud_frac:
+            rec["kept"] = True
+            pairs.append(rec)
+        else:
+            rec["kept"] = False
+            pairs.append(rec)
+    return pairs

@@ -366,3 +366,58 @@ def test_write_archive_map(tmp_path):
     doc = json.loads(p.read_text())
     assert doc["emit"] == "/drive/emit"
     assert "Archive map" in (tmp_path / "r.md").read_text()
+
+
+def test_discover_pairs_loop(tmp_path):
+    """The demo cells 20-24 loop: per-date best EMIT, best S2 match, keep
+    within the cloud threshold."""
+    from hyperres.catalog import CmrClient, StacClient, discover_pairs
+    from hyperres.core.config import PairSearchConfig
+
+    emit_items = [
+        make_umm_item("2023-08-19T10:30:00Z", cloud=20.0, granule="a"),
+        make_umm_item("2023-08-19T11:30:00Z", cloud=5.0, granule="b"),
+        make_umm_item("2023-08-21T10:30:00Z", cloud=15.0, granule="c"),
+    ]
+
+    def cmr_fetch(url, params=None, **kw):
+        return {"items": emit_items if params["page_num"] == 1 else []}
+
+    # clear scene on 08-16: inside the +-3d window of the 08-19 granule
+    # but OUTSIDE the window of the 08-21 granule, which only sees the
+    # fully cloudy scene
+    s2_items = [
+        make_stac_item("s2_clear", "2023-08-16T10:26:00Z",
+                       (12.9, 51.9, 14.1, 53.0)),
+        make_stac_item("s2_cloudy", "2023-08-21T10:26:00Z",
+                       (12.9, 51.9, 14.1, 53.0)),
+    ]
+
+    def stac_fetch(url, method="GET", body=None, **kw):
+        # emulate server-side datetime filtering
+        lo, hi = body["datetime"].split("/")
+        keep = [it for it in s2_items
+                if lo[:10] <= it["properties"]["datetime"][:10] <= hi[:10]]
+        return {"features": keep, "links": []}
+
+    grid = Grid(CRS.geographic(), 12.9, 53.0, 0.012, 0.011, 100, 100)
+    clear = np.full((100, 100), 4, dtype=np.uint8)
+    cloudy = np.full((100, 100), 9, dtype=np.uint8)
+
+    def scl_fetcher(item, key):
+        return (cloudy if item["id"] == "s2_cloudy" else clear), grid
+
+    pairs = discover_pairs(
+        cmr=CmrClient(fetch_json=cmr_fetch),
+        stac=StacClient("https://x", fetch_json=stac_fetch),
+        bbox=[12.9, 51.9, 14.1, 53.0],
+        temporal=("2023-08-18T00:00:00Z", "2023-08-22T00:00:00Z"),
+        config=PairSearchConfig(max_s2_cloud_frac=0.5),
+        scl_fetcher=scl_fetcher)
+    assert len(pairs) == 2  # two dates
+    d19 = next(p for p in pairs if p["date"] == "2023-08-19")
+    assert d19["kept"] is True
+    assert d19["emit_item"]["umm"]["GranuleUR"] == "b"  # least cloudy
+    assert d19["s2_item"]["id"] == "s2_clear"
+    d21 = next(p for p in pairs if p["date"] == "2023-08-21")
+    assert d21["kept"] is False  # fully cloudy SCL
