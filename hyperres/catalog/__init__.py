@@ -7,7 +7,7 @@ from .clients import (
     choose_nearest, choose_best_emit_per_date, granule_datetime,
     search_emit_granules,
 )
-from .cloud import count_cloud_pixels, scl_metrics
+from .cloud import count_cloud_pixels, scl_metrics, open_remote_scl
 from .pairing import (
     find_best_s2_for_emit_item, local_solar_time_hours, circ_hours_diff,
     discover_pairs,
@@ -19,7 +19,7 @@ __all__ = [
     "CmrClient", "StacClient", "CatalogUnavailableError", "best_asset_key",
     "choose_nearest", "choose_best_emit_per_date", "granule_datetime",
     "search_emit_granules",
-    "count_cloud_pixels", "scl_metrics",
+    "count_cloud_pixels", "scl_metrics", "open_remote_scl",
     "find_best_s2_for_emit_item", "local_solar_time_hours",
     "circ_hours_diff", "discover_pairs",
 ]

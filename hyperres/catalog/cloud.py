@@ -74,3 +74,13 @@ def scl_metrics(scl: Union[str, Path, np.ndarray],
         "class_counts": hist,
         "class_counts_named": named,
     }
+
+
+def open_remote_scl(href: str, fetch_range=None):
+    """(scl_array, grid) from a remote COG via HTTP range reads — the
+    /vsicurl-style probing the reference uses for SCL ranking
+    (cloud_utils.py:33-53), transferring only the blocks touched."""
+    from ..io.tiff import TiffReader
+
+    with TiffReader.open_url(href, fetch_range=fetch_range) as r:
+        return r.read()[0], r.grid

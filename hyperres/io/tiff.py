@@ -465,13 +465,114 @@ def _write_tiff_file(path: Path, ts: _TagSet, chunks: List[bytes],
 # Reader
 # ---------------------------------------------------------------------------
 
+class _FileSource:
+    """Local-file byte source."""
+
+    def __init__(self, path):
+        self._fh = open(path, "rb")
+
+    def pread(self, offset: int, size: int) -> bytes:
+        self._fh.seek(offset)
+        return self._fh.read(size)
+
+    def close(self):
+        self._fh.close()
+
+
+class HttpRangeSource:
+    """HTTP Range-request byte source with block caching — windowed reads
+    of remote COGs without downloading them (the reference's
+    /vsicurl-style SCL probing, s2_data/cloud_utils.py:33-53). The
+    ``fetch_range(url, start, end_inclusive) -> bytes`` callable is
+    injectable for offline tests; the default uses requests."""
+
+    def __init__(self, url: str, fetch_range=None, block_size: int = 1 << 18):
+        self.url = url
+        self.block_size = int(block_size)
+        self._cache: Dict[int, bytes] = {}
+        self._fetch = fetch_range or self._default_fetch
+
+    @staticmethod
+    def _default_fetch(url: str, start: int, end: int) -> bytes:
+        import requests
+        r = requests.get(url, headers={"Range": f"bytes={start}-{end}"},
+                         timeout=120)
+        r.raise_for_status()
+        return r.content
+
+    def _block(self, idx: int) -> bytes:
+        if idx not in self._cache:
+            start = idx * self.block_size
+            self._cache[idx] = self._fetch(
+                self.url, start, start + self.block_size - 1)
+        return self._cache[idx]
+
+    def pread(self, offset: int, size: int) -> bytes:
+        out = bytearray()
+        pos = offset
+        end = offset + size
+        while pos < end:
+            idx = pos // self.block_size
+            blk = self._block(idx)
+            lo = pos - idx * self.block_size
+            take = min(end - pos, len(blk) - lo)
+            if take <= 0:
+                break  # past EOF
+            out += blk[lo:lo + take]
+            pos += take
+        return bytes(out)
+
+    def close(self):
+        self._cache.clear()
+
+
+class _SourceFile:
+    """File-like adapter over a byte source (seek/read)."""
+
+    def __init__(self, source):
+        self._src = source
+        self._pos = 0
+
+    def seek(self, pos: int):
+        self._pos = pos
+
+    def tell(self) -> int:
+        return self._pos
+
+    def read(self, size: int) -> bytes:
+        data = self._src.pread(self._pos, size)
+        self._pos += len(data)
+        return data
+
+    def close(self):
+        self._src.close()
+
+
 class TiffReader:
-    """Reads (the first IFD of) a classic or Big GeoTIFF."""
+    """Reads (the first IFD of) a classic or Big GeoTIFF, from a local
+    path or any byte source (see ``from_source`` / ``open_url``)."""
 
     def __init__(self, path: Union[str, Path]):
         self.path = Path(path)
-        self._f = open(self.path, "rb")
+        self._f = _SourceFile(_FileSource(self.path))
         self._parse()
+
+    @classmethod
+    def from_source(cls, source, name: str = "<source>") -> "TiffReader":
+        self = cls.__new__(cls)
+        self.path = name
+        self._f = _SourceFile(source)
+        self._parse()
+        return self
+
+    @classmethod
+    def open_url(cls, url: str, fetch_range=None,
+                 block_size: int = 1 << 18) -> "TiffReader":
+        """Windowed remote reads over HTTP ranges: only the header/IFD
+        blocks plus the raster blocks a ``read(window=...)`` touches are
+        transferred."""
+        return cls.from_source(
+            HttpRangeSource(url, fetch_range, block_size), name=url)
 
     def close(self):
         self._f.close()

@@ -178,3 +178,51 @@ def test_tiff_pil_written_readable_by_us(tmp_path, rng):
     Image.fromarray(arr).save(p, compression="tiff_adobe_deflate")
     with tiff.TiffReader(p) as r:
         np.testing.assert_array_equal(r.read()[0], arr)
+
+
+def test_tiff_http_range_source_windowed(tmp_path, rng):
+    """Remote COG emulation: a fake HTTP-range fetcher over a local file;
+    windowed reads must transfer only a fraction of the file."""
+    data = rng.integers(0, 60000, size=(4, 256, 256)).astype(np.uint16)
+    p = tiff.write_geotiff(tmp_path / "cog.tif", data, utm_grid(256, 256),
+                           tiled=True, blockxsize=64, blockysize=64)
+    blob = p.read_bytes()
+    transferred = {"bytes": 0, "requests": 0}
+
+    def fetch_range(url, start, end):
+        transferred["bytes"] += min(end + 1, len(blob)) - start
+        transferred["requests"] += 1
+        return blob[start:end + 1]
+
+    r = tiff.TiffReader.open_url("https://fake/cog.tif",
+                                 fetch_range=fetch_range,
+                                 block_size=4096)
+    with r:
+        assert r.grid == utm_grid(256, 256)
+        win = Window(70, 10, 40, 30)
+        got = r.read(window=win, bands=[1, 3])
+        np.testing.assert_array_equal(got, data[[1, 3], 10:40, 70:110])
+    assert transferred["bytes"] < len(blob) * 0.6, (
+        transferred, len(blob))
+    assert transferred["requests"] >= 2
+
+
+def test_scl_metrics_from_remote_window(tmp_path, rng):
+    """count_cloud_pixels over a remote SCL raster via range reads — the
+    reference's /vsicurl probing pattern (cloud_utils.py:33-53)."""
+    from hyperres.catalog.cloud import count_cloud_pixels
+    scl = np.full((120, 120), 4, dtype=np.uint8)
+    scl[:40] = 9
+    g = utm_grid(120, 120, dx=20.0)
+    p = tiff.write_geotiff(tmp_path / "scl.tif", scl[None], g, tiled=True,
+                           blockxsize=32, blockysize=32)
+    blob = p.read_bytes()
+
+    def fetch_range(url, start, end):
+        return blob[start:end + 1]
+
+    with tiff.TiffReader.open_url("https://fake/scl.tif",
+                                  fetch_range=fetch_range) as r:
+        clouds, valid = count_cloud_pixels(r.read()[0], grid=r.grid)
+    assert valid == 120 * 120
+    assert clouds == 40 * 120
