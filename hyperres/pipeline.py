@@ -30,7 +30,10 @@ from .core.config import (
 )
 from .core.constants import NO_DATA_VALUE
 from .core.grid import Grid
-from .fusion import RidgeSpectralSR, apply_poly, fit_ot_poly, flatten_pixels
+from .fusion import (
+    RidgeSpectralSR, apply_affine, apply_poly, calibrate_linear,
+    fit_ot_affine, fit_ot_poly, flatten_pixels, histogram_match_rgb,
+)
 from .io import envi
 from .io.tiff import TiffReader, write_geotiff
 from .kernels.stats import shared_percentile_stretch
@@ -98,11 +101,18 @@ def fuse_pair(
     config: PolyFusionConfig = PolyFusionConfig(),
     platform: str = "S2A",
     synth_method: str = "srf",
+    fusion_method: str = "ot_poly",
 ) -> FusionResult:
-    """The 4-phase fusion: returns the OT+poly-matched simulated S2 RGB at
-    10 m plus the 60 m view and the fitted coefficients.
+    """The 4-phase fusion: returns the matched simulated S2 RGB at 10 m
+    plus the 60 m view and the fitted mapping.
     ``synth_method``: 'srf' (SRF integral, synth.py:9-45) or 'box'
-    (rectangular band-pass, demo cell 58)."""
+    (rectangular band-pass, demo cell 58).
+    ``fusion_method`` selects the matching model family:
+    - 'ot_poly'   — OT barycentric targets + per-channel polynomial
+                    (demo cell 81 / poly_regression.py, the default),
+    - 'ot_affine' — OT targets + affine map (demo cell 74 / color.py),
+    - 'linear'    — per-channel linear calibration (demo cells 65/72),
+    - 'histogram' — per-channel CDF matching (color.py:36-63)."""
     cfg = config
     t0 = time.perf_counter()
 
@@ -145,17 +155,49 @@ def fuse_pair(
     s2_rgb_n = np.asarray(shared_percentile_stretch(
         jnp.asarray(s2_rgb_60m), jnp.asarray(valid60),
         cfg.stretch_percentiles[0], cfg.stretch_percentiles[1]))
-    coeffs = fit_ot_poly(emit_rgb_n, s2_rgb_n, valid60, deg=cfg.degree,
-                         cfg=cfg.ot, min_pixels=cfg.min_pixels)
-    matched_60m = apply_poly(emit_rgb_n, coeffs, mask=valid60)
+    if fusion_method == "ot_poly":
+        coeffs = fit_ot_poly(emit_rgb_n, s2_rgb_n, valid60,
+                             deg=cfg.degree, cfg=cfg.ot,
+                             min_pixels=cfg.min_pixels)
+        matched_60m = apply_poly(emit_rgb_n, coeffs, mask=valid60)
+        apply_10m = lambda x, m: apply_poly(x, coeffs, mask=m)
+    elif fusion_method == "ot_affine":
+        A, t_vec = fit_ot_affine(emit_rgb_n, s2_rgb_n, valid60, cfg.ot)
+        coeffs = np.concatenate([A, t_vec[None, :]], axis=0)
+        matched_60m = apply_affine(emit_rgb_n, A, t_vec, mask=valid60)
+        apply_10m = lambda x, m: apply_affine(x, A, t_vec, mask=m)
+    elif fusion_method == "linear":
+        _, params = calibrate_linear(
+            np.moveaxis(emit_rgb_n, -1, 0), np.moveaxis(s2_rgb_n, -1, 0),
+            valid60)
+        coeffs = np.asarray(params)  # (3, 2): a, b per channel
+        lin = np.stack([coeffs[:, 0], coeffs[:, 1]], axis=1)
+
+        def apply_10m(x, m):
+            out = x.copy()
+            mapped = np.clip(x * coeffs[:, 0] + coeffs[:, 1], 0, 1)
+            out[m] = mapped[m]
+            return np.clip(out, 0, 1)
+
+        matched_60m = apply_10m(emit_rgb_n, valid60)
+    elif fusion_method == "histogram":
+        matched_60m = histogram_match_rgb(emit_rgb_n, s2_rgb_n, valid60)
+        coeffs = np.zeros((3, 1))  # non-parametric
+
+        def apply_10m(x, m):
+            return histogram_match_rgb(
+                x, np.clip(np.moveaxis(s2_rgb, 0, -1)[..., ::-1], 0, 1),
+                m)
+    else:
+        raise ValueError(f"Unknown fusion_method {fusion_method!r}")
     t3 = time.perf_counter()
 
     # Phase 4: upsample the stretched sim bands to 10 m, apply the same
-    # polynomial there
+    # mapping there
     sim10 = resample_to_grid(emit_rgb_n, emit_grid, s2_grid,
                              method="bilinear", nodata=None, fill=np.nan)
     mask10 = np.isfinite(sim10).all(axis=-1)
-    fused_10m = apply_poly(np.nan_to_num(sim10), coeffs, mask=mask10)
+    fused_10m = np.array(apply_10m(np.nan_to_num(sim10), mask10))
     fused_10m[~mask10] = np.nan
     t4 = time.perf_counter()
 
@@ -174,6 +216,7 @@ def fuse_pair(
             },
             "n_valid_60m": int(valid60.sum()),
             "degree": cfg.degree,
+            "fusion_method": fusion_method,
         },
     )
 

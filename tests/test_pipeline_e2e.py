@@ -215,3 +215,33 @@ def test_fuse_pair_box_variant(tmp_path):
     valid = np.isfinite(out.fused_10m).all(axis=-1)
     assert valid.mean() > 0.3
     assert out.info["n_valid_60m"] > 500
+
+
+@pytest.mark.parametrize("method", ["ot_affine", "linear", "histogram"])
+def test_fuse_pair_model_families(scene, tmp_path, method):
+    """All four matching model families run through the fusion driver and
+    pull the simulated bands toward the real S2 distribution."""
+    from hyperres.io import envi
+    from hyperres.io.tiff import TiffReader
+    from hyperres.ortho import orthorectify_granule
+    from hyperres.pipeline import fuse_pair
+    from hyperres.core.config import OrthoConfig
+
+    res = orthorectify_granule(
+        scene.emit_nc_path, tmp_path / f"mf_{method}", scene.s2_tif_path,
+        config=OrthoConfig(save_geotiffs=False, write_xml=False))
+    r = envi.EnviReader(res.data_envi_bin.with_suffix(".hdr"))
+    cube = r.read()
+    with TiffReader(scene.s2_tif_path) as t:
+        stack = t.read().astype(np.float32)
+        s2_grid = t.grid
+        nodata = t.nodata
+    out = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                    s2_scale=1e-4, s2_nodata=nodata,
+                    fusion_method=method)
+    assert out.info["fusion_method"] == method
+    valid = np.isfinite(out.fused_10m).all(axis=-1)
+    assert valid.mean() > 0.3
+    vals = out.fused_10m[valid]
+    assert vals.min() >= 0.0 and vals.max() <= 1.0
+    assert np.isfinite(out.matched_60m).all()
