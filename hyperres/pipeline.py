@@ -160,18 +160,21 @@ def fuse_pair(
                              deg=cfg.degree, cfg=cfg.ot,
                              min_pixels=cfg.min_pixels)
         matched_60m = apply_poly(emit_rgb_n, coeffs, mask=valid60)
-        apply_10m = lambda x, m: apply_poly(x, coeffs, mask=m)
+
+        def apply_10m(x, m):
+            return apply_poly(x, coeffs, mask=m)
     elif fusion_method == "ot_affine":
         A, t_vec = fit_ot_affine(emit_rgb_n, s2_rgb_n, valid60, cfg.ot)
         coeffs = np.concatenate([A, t_vec[None, :]], axis=0)
         matched_60m = apply_affine(emit_rgb_n, A, t_vec, mask=valid60)
-        apply_10m = lambda x, m: apply_affine(x, A, t_vec, mask=m)
+
+        def apply_10m(x, m):
+            return apply_affine(x, A, t_vec, mask=m)
     elif fusion_method == "linear":
         _, params = calibrate_linear(
             np.moveaxis(emit_rgb_n, -1, 0), np.moveaxis(s2_rgb_n, -1, 0),
             valid60)
         coeffs = np.asarray(params)  # (3, 2): a, b per channel
-        lin = np.stack([coeffs[:, 0], coeffs[:, 1]], axis=1)
 
         def apply_10m(x, m):
             out = x.copy()
