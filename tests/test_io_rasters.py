@@ -226,3 +226,28 @@ def test_scl_metrics_from_remote_window(tmp_path, rng):
         clouds, valid = count_cloud_pixels(r.read()[0], grid=r.grid)
     assert valid == 120 * 120
     assert clouds == 40 * 120
+
+
+def test_envi_big_endian_read(tmp_path):
+    """byte order = 1 files decode through the byteswapped dtype path."""
+    data = np.arange(12, dtype=">f4").reshape(3, 4)
+    (tmp_path / "be.bin").write_bytes(data.tobytes())
+    (tmp_path / "be.hdr").write_text(
+        "ENVI\nsamples = 4\nlines = 3\nbands = 1\ndata type = 4\n"
+        "interleave = bsq\nbyte order = 1\nheader offset = 0\n")
+    r = envi.EnviReader(tmp_path / "be.hdr")
+    np.testing.assert_array_equal(r.read()[..., 0],
+                                  data.astype(np.float32))
+
+
+def test_spatial_subset_empty_polygon(tmp_path):
+    from hyperres.catalog.geometry import LonLatPolygon
+    from hyperres.io.granule import EmitGranule
+    from hyperres.ortho.toolkit import spatial_subset
+    from hyperres.testing.scenes import make_scene
+    scene = make_scene(tmp_path / "s", raw_shape=(20, 24), n_bands=8,
+                       s2_size=100)
+    with EmitGranule(scene.emit_nc_path) as g:
+        far = LonLatPolygon.from_bounds(100.0, 10.0, 101.0, 11.0)
+        with pytest.raises(ValueError, match="no valid GLT"):
+            spatial_subset(g, far)
