@@ -116,18 +116,32 @@ def poly_feature_exponents(n_features: int, degree: int,
 def make_poly_expander(n_features: int, degree: int,
                        include_bias: bool = False):
     """Returns a traced function (N, n_features) -> (N, F) computing the
-    monomial expansion via cumulative products per degree (no powers)."""
+    monomial expansion as ``degree`` gathered-column products — three
+    gathers and two elementwise multiplies for degree 3 instead of an
+    unrolled per-monomial chain (a ~100x trace/compile-size reduction at
+    285 features, and a vectorised runtime)."""
+    if degree < 1:
+        raise ValueError("degree must be >= 1")
     exps = poly_feature_exponents(n_features, degree, include_bias)
+    # factor each monomial into exactly ``degree`` indices into
+    # [1, x_0, ..., x_{n-1}] (index 0 is the constant-one column)
+    factor_idx = np.zeros((exps.shape[0], degree), dtype=np.int32)
+    for row, e in enumerate(exps):
+        fs = []
+        for i, p in enumerate(e):
+            fs.extend([i + 1] * int(p))
+        fs.extend([0] * (degree - len(fs)))
+        factor_idx[row] = fs
+
+    idx_const = [jnp.asarray(factor_idx[:, d]) for d in range(degree)]
 
     def expand(X: jax.Array) -> jax.Array:
-        cols = []
-        for e in exps:
-            col = jnp.ones(X.shape[:-1], dtype=X.dtype)
-            for i, p in enumerate(e):
-                for _ in range(int(p)):
-                    col = col * X[..., i]
-            cols.append(col)
-        return jnp.stack(cols, axis=-1)
+        ones = jnp.ones(X.shape[:-1] + (1,), dtype=X.dtype)
+        X_ext = jnp.concatenate([ones, X], axis=-1)
+        out = jnp.take(X_ext, idx_const[0], axis=-1)
+        for d in range(1, degree):
+            out = out * jnp.take(X_ext, idx_const[d], axis=-1)
+        return out
 
     return expand, exps.shape[0]
 
