@@ -181,7 +181,16 @@ def main():
 
     log("uploading inputs ...")
     t_up0 = time.perf_counter()
-    raw_j = jax.device_put(raw)
+    u16_upload = bool(os.environ.get("HYPERRES_BENCH_U16_UPLOAD"))
+    if u16_upload:
+        # production streaming design: ship the cube quantized exactly
+        # like archived tiles (x10000 uint16, tiles_helpers convention)
+        # and dequantize on device — halves host->HBM transfer
+        raw_q = np.clip(np.rint(raw * 10000.0), 0, 65534).astype(np.uint16)
+        raw_j = jax.jit(lambda q: q.astype(jnp.float32) * 1e-4)(
+            jax.device_put(raw_q))
+    else:
+        raw_j = jax.device_put(raw)
     flat_j = jax.device_put(flat_idx)
     valid_j = jax.device_put(valid)
     wr_j = jax.device_put(wr)
@@ -196,7 +205,8 @@ def main():
     jax.block_until_ready((raw_j, flat_j, wr_j, s2rgb_j, Wr10))
     t_upload = time.perf_counter() - t_up0
     log(f"upload done in {t_upload:.2f}s "
-        f"({raw.nbytes / 1e9:.2f} GB raw cube)")
+        f"({(raw.nbytes // 2 if u16_upload else raw.nbytes) / 1e9:.2f} GB "
+        f"{'u16-quantized ' if u16_upload else ''}raw cube)")
 
     jit_probe = jax.jit(lambda x: x[::997, ::997])
 
