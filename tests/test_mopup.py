@@ -139,3 +139,16 @@ def test_downsample_s2_to_grid_api(tmp_path, rng):
     assert out.shape == (2, 10, 10)
     want = data[0].reshape(10, 6, 10, 6).mean(axis=(1, 3)) / 255.0
     np.testing.assert_allclose(out[0], want, atol=1e-5)
+
+
+def test_stage_timer_and_profile_trace(tmp_path):
+    import time as _t
+    from hyperres.utils import StageTimer, profile_trace
+    ledger = {}
+    t = StageTimer(ledger)
+    with t.stage("work", shape=[3, 4]):
+        _t.sleep(0.01)
+    assert ledger["work"]["seconds"] >= 0.009
+    assert ledger["work"]["shape"] == [3, 4]
+    with profile_trace(None):  # no-op path
+        pass
