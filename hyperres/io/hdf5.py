@@ -78,6 +78,9 @@ class Dataset:
     fillvalue: Optional[bytes] = None
     attrs: Dict[str, Any] = field(default_factory=dict)
     compact_data: Optional[bytes] = None
+    # v4-layout chunk index descriptor: ("single",addr,size,mask) |
+    # ("implicit",addr,nbytes) | ("fixed",fahd_addr); None => v1 B-tree
+    chunk_index: Optional[tuple] = None
     _file: Optional["HDF5File"] = None
 
     # ---- data access ----
@@ -100,8 +103,7 @@ class Dataset:
         if self.fillvalue:
             out[...] = np.frombuffer(self.fillvalue, dtype=self.dtype)[0]
         cb = self.chunk_shape[-1]
-        for offsets, addr, size, filter_mask in f._iter_chunks(
-                self.btree_addr, len(self.shape) + 1):
+        for offsets, addr, size, filter_mask in f._iter_dataset_chunks(self):
             c0 = offsets[-1]
             if c0 + cb <= b0 or c0 >= b1:
                 continue
@@ -141,8 +143,7 @@ class Dataset:
         if self.fillvalue:
             fv = np.frombuffer(self.fillvalue, dtype=self.dtype)[0]
             out[...] = fv
-        for offsets, addr, size, filter_mask in f._iter_chunks(
-                self.btree_addr, len(self.shape) + 1):
+        for offsets, addr, size, filter_mask in f._iter_dataset_chunks(self):
             raw = f._pread(addr, size)
             raw = self._defilter(raw, filter_mask)
             chunk = np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
@@ -308,7 +309,7 @@ class HDF5File:
         flags = hdr[5]
         pos = addr + 6
         if flags & 0x20:
-            pos += 8  # times
+            pos += 16  # access/mod/change/birth times, 4 x u32
         if flags & 0x10:
             pos += 4  # max compact/dense attrs
         size_bytes = 1 << (flags & 0x3)
@@ -316,13 +317,15 @@ class HDF5File:
         pos += size_bytes
         track_order = bool(flags & 0x04)
         msgs: List[Tuple[int, bytes, int]] = []
+        # chunk-0 size covers message data only (checksum follows it);
+        # an OCHK continuation's size includes its signature AND checksum.
         blocks = [(pos, size_of_chunk0)]
         bi = 0
         while bi < len(blocks):
             baddr, bsize = blocks[bi]
             bi += 1
             p = baddr
-            end = baddr + bsize - 4  # gap/checksum at end
+            end = baddr + bsize
             while p + 4 <= end:
                 mh = self._pread(p, 4)
                 mtype = mh[0]
@@ -334,8 +337,7 @@ class HDF5File:
                 body = self._pread(p, msize)
                 if mtype == 0x10:
                     caddr, csize = struct.unpack("<QQ", body[:16])
-                    # continuation block begins with "OCHK"
-                    blocks.append((caddr + 4, csize - 4))
+                    blocks.append((caddr + 4, csize - 8))
                 else:
                     msgs.append((mtype, body, mflags))
                 p += msize
@@ -555,6 +557,7 @@ class HDF5File:
         fill = None
         attrs: Dict[str, Any] = {}
         compact = None
+        chunk_index = None
         for mtype, body, _ in msgs:
             if mtype == 0x0001:
                 shape = self._parse_dataspace(body).shape
@@ -564,7 +567,7 @@ class HDF5File:
                 fill = self._parse_fill(body)
             elif mtype == 0x0008:
                 (layout, data_addr, data_size, chunk_shape, btree_addr,
-                 compact) = self._parse_layout(body)
+                 compact, chunk_index) = self._parse_layout(body)
             elif mtype == 0x000B:
                 filters = self._parse_filters(body)
             elif mtype == 0x000C:
@@ -578,7 +581,7 @@ class HDF5File:
                      data_addr=data_addr, data_size=data_size,
                      chunk_shape=chunk_shape, btree_addr=btree_addr,
                      filters=filters, fillvalue=fill, attrs=attrs,
-                     compact_data=compact)
+                     compact_data=compact, chunk_index=chunk_index)
         ds._file = self
         return ds
 
@@ -625,9 +628,58 @@ class HDF5File:
                 chunk_shape = tuple(int(d) for d in dims[:-1])  # last is elem size
             else:
                 raise ValueError(f"Layout class {cls}")
+        elif version == 4:
+            # "latest"-format layout (h5py libver="latest"); chunked class
+            # carries one of the new chunk-index types instead of a v1 B-tree
+            cls = body[1]
+            if cls == 0:
+                layout = "compact"
+                size = struct.unpack("<H", body[2:4])[0]
+                compact = body[4:4 + size]
+            elif cls == 1:
+                layout = "contiguous"
+                data_addr, data_size = struct.unpack("<QQ", body[2:18])
+            elif cls == 2:
+                layout = "chunked"
+                flags = body[2]
+                ndims = body[3]
+                enc = body[4]
+                pos = 5
+                dims = [int.from_bytes(body[pos + i * enc:pos + (i + 1) * enc],
+                                       "little") for i in range(ndims)]
+                pos += ndims * enc
+                chunk_shape = tuple(dims[:-1])  # last dim is element size
+                chunk_nbytes = 1
+                for d in dims:
+                    chunk_nbytes *= d
+                itype = body[pos]
+                pos += 1
+                if itype == 1:  # single chunk
+                    fsize, fmask = chunk_nbytes, 0
+                    if flags & 0x02:
+                        fsize = struct.unpack("<Q", body[pos:pos + 8])[0]
+                        fmask = struct.unpack("<I", body[pos + 8:pos + 12])[0]
+                        pos += 12
+                    addr = struct.unpack("<Q", body[pos:pos + 8])[0]
+                    chunk_index = ("single", addr, fsize, fmask)
+                elif itype == 2:  # implicit (unfiltered, fixed, contiguous)
+                    addr = struct.unpack("<Q", body[pos:pos + 8])[0]
+                    chunk_index = ("implicit", addr, chunk_nbytes)
+                elif itype == 3:  # fixed array
+                    pos += 1  # page bits (re-read from the FAHD header)
+                    addr = struct.unpack("<Q", body[pos:pos + 8])[0]
+                    chunk_index = ("fixed", addr)
+                else:
+                    raise ValueError(
+                        f"Unsupported v4 chunk index type {itype} "
+                        "(extensible array / v2 B-tree need unlimited dims)")
+                return (layout, data_addr, data_size, chunk_shape,
+                        btree_addr, compact, chunk_index)
+            else:
+                raise ValueError(f"Layout class {cls}")
         else:
             raise ValueError(f"Layout message version {version}")
-        return layout, data_addr, data_size, chunk_shape, btree_addr, compact
+        return layout, data_addr, data_size, chunk_shape, btree_addr, compact, None
 
     @staticmethod
     def _parse_filters(body: bytes) -> List[Tuple[int, Tuple[int, ...]]]:
@@ -639,18 +691,115 @@ class HDF5File:
         else:
             pos = 2
         for _ in range(nfilters):
-            fid, name_len = struct.unpack("<HH", body[pos:pos + 4])
-            flags, ncd = struct.unpack("<HH", body[pos + 4:pos + 8])
-            pos += 8
+            fid = struct.unpack("<H", body[pos:pos + 2])[0]
+            pos += 2
+            # v2 omits the name-length field for built-in filters (id < 256)
+            name_len = 0
             if version == 1 or fid >= 256:
-                name_padded = (name_len + 7) & ~7 if version == 1 else name_len
-                pos += name_padded
+                name_len = struct.unpack("<H", body[pos:pos + 2])[0]
+                pos += 2
+            flags, ncd = struct.unpack("<HH", body[pos:pos + 4])
+            pos += 4
+            pos += (name_len + 7) & ~7 if version == 1 else name_len
             cd = struct.unpack(f"<{ncd}I", body[pos:pos + 4 * ncd])
             pos += 4 * ncd
             if version == 1 and ncd % 2 == 1:
                 pos += 4
             filters.append((fid, tuple(int(c) for c in cd)))
         return filters
+
+    def _iter_dataset_chunks(self, ds: Dataset):
+        """Yield (offsets, addr, size, filter_mask) for every stored chunk of
+        a chunked dataset, dispatching on its index type (v1 B-tree for
+        classic files; Single Chunk / Implicit / Fixed Array for v4
+        "latest"-format layouts)."""
+        if ds.chunk_index is None:
+            yield from self._iter_chunks(ds.btree_addr, len(ds.shape) + 1)
+            return
+        kind = ds.chunk_index[0]
+        rank = len(ds.shape)
+        grid = tuple(-(-s // c) for s, c in zip(ds.shape, ds.chunk_shape))
+        if kind == "single":
+            _, addr, size, mask = ds.chunk_index
+            if addr != UNDEF:
+                yield (0,) * rank, addr, size, mask
+        elif kind == "implicit":
+            _, base, nbytes = ds.chunk_index
+            if base == UNDEF:
+                return
+            for i, coord in enumerate(np.ndindex(*grid)):
+                yield (tuple(o * c for o, c in zip(coord, ds.chunk_shape)),
+                       base + i * nbytes, nbytes, 0)
+        elif kind == "fixed":
+            _, fahd_addr = ds.chunk_index
+            if fahd_addr == UNDEF:
+                return
+            coords = list(np.ndindex(*grid))
+            for i, (addr, size, mask) in enumerate(
+                    self._read_fixed_array(fahd_addr,
+                                           ds.chunk_shape, ds.dtype)):
+                if addr == UNDEF or i >= len(coords):
+                    continue
+                yield (tuple(o * c for o, c in zip(coords[i],
+                                                   ds.chunk_shape)),
+                       addr, size, mask)
+        else:
+            raise ValueError(f"Unknown chunk index kind {kind}")
+
+    def _read_fixed_array(self, fahd_addr: int, chunk_shape, dtype):
+        """Decode a Fixed Array chunk index (FAHD header + FADB data block,
+        optionally paged). Yields (chunk_addr, stored_size, filter_mask)
+        in element order."""
+        hdr = self._pread(fahd_addr, 32)
+        if hdr[:4] != b"FAHD":
+            raise ValueError("Bad fixed-array header")
+        client_id = hdr[5]  # 0 = unfiltered chunks, 1 = filtered chunks
+        entry_size = hdr[6]
+        page_bits = hdr[7]
+        nelmts = struct.unpack("<Q", hdr[8:16])[0]
+        db_addr = struct.unpack("<Q", hdr[16:24])[0]
+        if db_addr == UNDEF or nelmts == 0:
+            return
+        raw_chunk_bytes = int(np.prod(chunk_shape)) * dtype.itemsize
+
+        def parse(blob: bytes):
+            pos = 0
+            while pos + entry_size <= len(blob):
+                addr = struct.unpack("<Q", blob[pos:pos + 8])[0]
+                if client_id == 1:
+                    szlen = entry_size - 12
+                    size = int.from_bytes(blob[pos + 8:pos + 8 + szlen],
+                                          "little")
+                    mask = struct.unpack(
+                        "<I", blob[pos + 8 + szlen:pos + entry_size])[0]
+                else:
+                    size, mask = raw_chunk_bytes, 0
+                yield addr, size, mask
+                pos += entry_size
+
+        page_size = 1 << page_bits
+        prefix = 6 + 8  # FADB signature/version/client-id + header address
+        if nelmts <= page_size:
+            blob = self._pread(db_addr, prefix + nelmts * entry_size + 4)
+            if blob[:4] != b"FADB":
+                raise ValueError("Bad fixed-array data block")
+            yield from parse(blob[prefix:prefix + nelmts * entry_size])
+        else:
+            npages = -(-nelmts // page_size)
+            bitmap_bytes = -(-npages // 8)
+            db_size = prefix + bitmap_bytes + 4
+            head = self._pread(db_addr, db_size)
+            if head[:4] != b"FADB":
+                raise ValueError("Bad fixed-array data block")
+            # pages follow the data block back to back, each checksummed
+            pos = db_addr + db_size
+            remaining = nelmts
+            for _ in range(npages):
+                n = min(page_size, remaining)
+                blob = self._pread(pos, n * entry_size)
+                yield from parse(blob)
+                pos += n * entry_size + 4  # + page checksum
+                remaining -= n
 
     def _iter_chunks(self, btree_addr: int, rank_plus1: int):
         """Yield (offsets, addr, size, filter_mask) from a v1 chunk B-tree."""

@@ -165,3 +165,71 @@ def test_superblock_v2_read_path(tmp_path, rng):
         np.testing.assert_array_equal(f2.variables["x"].read(), want)
         assert f2.attrs["title"] == "v2 test"
         assert f2.variables["x"].attrs["units"] == "nm"
+
+
+# ------------------------------------------------- v2/"latest" format ----
+
+class TestLatestFormat:
+    """h5py libver="latest" files: superblock v3, v2 (OHDR) object headers,
+    compact link messages, layout message v4 with the new chunk indexes."""
+
+    def _roundtrip(self, tmp_path, make, expect, path="d"):
+        import h5py
+        from hyperres.io.hdf5 import HDF5File
+        p = tmp_path / "latest.h5"
+        with h5py.File(p, "w", libver="latest") as f:
+            make(f)
+        with HDF5File(p) as f:
+            node = f.root
+            *parents, leaf = path.split("/")
+            for g in parents:
+                node = node.groups[g]
+            np.testing.assert_array_equal(node.variables[leaf].read(), expect)
+
+    def test_contiguous(self, tmp_path):
+        a = np.arange(10, dtype=np.int16)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset("d", data=a), a)
+
+    def test_single_chunk_filtered(self, tmp_path):
+        a = np.arange(24, dtype=np.float32).reshape(4, 6)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset(
+            "d", data=a, chunks=(4, 6), compression="gzip"), a)
+
+    def test_fixed_array_filtered_shuffle(self, tmp_path):
+        a = np.arange(24, dtype=np.float32).reshape(4, 6)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset(
+            "d", data=a, chunks=(2, 3), compression="gzip", shuffle=True), a)
+
+    def test_fixed_array_unfiltered(self, tmp_path):
+        a = np.arange(24, dtype=np.float32).reshape(4, 6)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset(
+            "d", data=a, chunks=(2, 3)), a)
+
+    def test_fixed_array_paged(self, tmp_path):
+        # 33*32 = 1056 chunks > the 2**10 page size -> paged data block
+        a = np.arange(66 * 64, dtype=np.float32).reshape(66, 64)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset(
+            "d", data=a, chunks=(2, 2), compression="gzip"), a)
+
+    def test_nested_group_links(self, tmp_path):
+        a = np.arange(24, dtype=np.float32).reshape(4, 6)
+        self._roundtrip(tmp_path, lambda f: f.create_group(
+            "grp").create_dataset("d", data=a, compression="gzip"),
+            a, path="grp/d")
+
+    def test_attrs_and_band_range(self, tmp_path):
+        import h5py
+        from hyperres.io.hdf5 import HDF5File
+        cube = np.arange(5 * 7 * 20, dtype=np.float32).reshape(5, 7, 20)
+        p = tmp_path / "attrs.h5"
+        with h5py.File(p, "w", libver="latest") as f:
+            f.attrs["title"] = "v2"
+            d = f.create_dataset("cube", data=cube, chunks=(5, 7, 4),
+                                 compression="gzip")
+            d.attrs["units"] = "nm"
+        with HDF5File(p) as f:
+            ds = f.variables["cube"]
+            np.testing.assert_array_equal(ds.read_band_range(3, 11),
+                                          cube[..., 3:11])
+            assert f.attrs["title"] == "v2"
+            assert ds.attrs["units"] == "nm"
