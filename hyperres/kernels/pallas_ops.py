@@ -17,7 +17,6 @@ Pallas is unavailable.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -15,7 +15,7 @@ fixed-shape alternative that reduces with psum-friendly histograms.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ from ..core.constants import NO_DATA_VALUE
 from ..core.grid import Grid, s2_anchored_target_grid
 from ..io import envi
 from ..io.granule import EmitGranule
-from ..io.tiff import TiffReader, write_geotiff
+from ..io.tiff import TiffReader
 from ..io.xml_sidecar import write_xml_sidecar
 from ..kernels.glt import glt_gather, prepare_glt
 from ..kernels.warp import (

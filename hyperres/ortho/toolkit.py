@@ -6,7 +6,7 @@ orthos — the EMIT toolkit operations beyond the main product pipeline
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -27,7 +27,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import TilingConfig
 from ..core.cube import subsample_bands_evenly
 from ..core.grid import Window
 from ..io.tiff import TiffReader, write_geotiff
