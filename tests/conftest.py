@@ -36,3 +36,9 @@ def eight_devices():
     if len(devs) < 8:
         pytest.skip("8 virtual CPU devices unavailable")
     return devs
+
+
+@pytest.fixture
+def repo_root():
+    from pathlib import Path
+    return Path(__file__).resolve().parent.parent
