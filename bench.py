@@ -19,7 +19,9 @@ timed (all device, one warm-up iteration for compile):
   5. bilinear upsample of the matched bands to the 10 m grid + polyval.
 
 Environment knobs: HYPERRES_BENCH_SCALE (default 1.0) scales the raw
-granule dims for quick smoke runs.
+granule dims for quick smoke runs; HYPERRES_BENCH_WARP ("two_pass"
+default, "taploop" for the exact gather kernel); HYPERRES_BENCH_RUNS,
+HYPERRES_BENCH_STAGES, HYPERRES_BENCH_U16_UPLOAD.
 """
 
 import json
@@ -48,9 +50,9 @@ def main():
     from hyperres.kernels.srf import build_srf_weight_matrix, srf_synthesize
     from hyperres.kernels.stats import shared_percentile_stretch
     from hyperres.kernels.warp import (
-        orthowarp_taploop, separable_index_axes,
-        separable_resample_matmul, separable_weight_matrix,
-        source_index_field,
+        orthowarp_taploop, orthowarp_two_pass, scanline_cstar,
+        separable_index_axes, separable_resample_matmul,
+        separable_weight_matrix, source_index_field,
     )
     from hyperres.spectral import builtin_srf
     from hyperres.testing import scenes
@@ -138,6 +140,9 @@ def main():
     # host-precomputed index fields (f64 CRS math -> f32 indices)
     flat_idx, valid = prepare_glt(glt, (raw_h, raw_w))
     wr, wc = source_index_field(ortho_grid, utm60)  # TM inverse field
+    warp_kernel = os.environ.get("HYPERRES_BENCH_WARP", "two_pass")
+    cstar = (scanline_cstar(wr, wc, ortho_grid.height)
+             if warp_kernel == "two_pass" else None)
     sep = separable_index_axes(utm60, s2_grid)
     t_setup = time.perf_counter() - t_setup0
     log(f"setup done in {t_setup:.1f}s")
@@ -150,12 +155,20 @@ def main():
     # with large cross-program arrays proved OOM-prone.)
     ot_cfg = OTConfig()
 
-    def full_pipeline(raw_j, flat_j, valid_j, wr_j, wc_j, W_j, s2rgb_j,
-                      Wr10, Wc10, key):
-        # 1+2. fused GLT + cubic warp straight to the S2-anchored grid
-        utm_cube = orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
-                                     method="cubic", fill=-9999.0,
-                                     row_chunks=64)
+    def full_pipeline(raw_j, flat_j, valid_j, wr_j, wc_j, cstar_j, W_j,
+                      s2rgb_j, Wr10, Wc10, key):
+        # 1+2. fused GLT + cubic warp straight to the S2-anchored grid.
+        # two_pass: Catmull-Smith scanline warp as banded MXU matmuls
+        # (default; ~2.6x the taploop gather kernel, sub-1e-3 deviation
+        # at nodata boundaries only); taploop: exact gather kernel.
+        if warp_kernel == "two_pass":
+            utm_cube = orthowarp_two_pass(raw_j, flat_j, valid_j, wr_j,
+                                          wc_j, cstar_j, method="cubic",
+                                          fill=-9999.0)
+        else:
+            utm_cube = orthowarp_taploop(raw_j, flat_j, valid_j, wr_j,
+                                         wc_j, method="cubic",
+                                         fill=-9999.0, row_chunks=64)
         # 3. SRF synthesis -> B2,B3,B4 at 60 m (MXU matmul)
         synth = srf_synthesize(utm_cube, W_j, fast=True)
         valid60 = (utm_cube[..., 0] != -9999.0)
@@ -195,6 +208,8 @@ def main():
     valid_j = jax.device_put(valid)
     wr_j = jax.device_put(wr)
     wc_j = jax.device_put(wc)
+    cstar_j = (jax.device_put(cstar) if cstar is not None
+               else jnp.zeros((1, 1), jnp.float32))
     W_j = jax.device_put(np.asarray(W3))
     s2rgb_j = jax.device_put(s2_rgb_60)
     Wr10 = jax.device_put(separable_weight_matrix(
@@ -213,7 +228,8 @@ def main():
     log("compiling + warmup ...")
     t_c0 = time.perf_counter()
     utm_cube, fused, coeffs = jitted(raw_j, flat_j, valid_j, wr_j, wc_j,
-                                     W_j, s2rgb_j, Wr10, Wc10, key)
+                                     cstar_j, W_j, s2rgb_j, Wr10, Wc10,
+                                     key)
     jax.block_until_ready(fused)
     _ = np.asarray(jit_probe(fused))
     utm_shape = utm_cube.shape
@@ -237,6 +253,10 @@ def main():
 
         # diagnostic: time each stage as its own program
         def stage_ortho(raw_j, flat_j, valid_j, wr_j, wc_j):
+            if warp_kernel == "two_pass":
+                return orthowarp_two_pass(raw_j, flat_j, valid_j, wr_j,
+                                          wc_j, cstar_j, method="cubic",
+                                          fill=-9999.0)
             return orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
                                      method="cubic", fill=-9999.0,
                                      row_chunks=64)
@@ -288,8 +308,8 @@ def main():
         run_key = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
         utm_cube, fused, coeffs = jitted(raw_j, flat_j, valid_j, wr_j,
-                                         wc_j, W_j, s2rgb_j, Wr10, Wc10,
-                                         run_key)
+                                         wc_j, cstar_j, W_j, s2rgb_j,
+                                         Wr10, Wc10, run_key)
         jax.block_until_ready(fused)
         _ = np.asarray(jit_probe(fused))
         times.append(time.perf_counter() - t0)

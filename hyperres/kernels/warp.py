@@ -65,6 +65,33 @@ def separable_index_axes(src_grid: Grid, dst_grid: Grid
     return rows.astype(np.float32), cols.astype(np.float32)
 
 
+def scanline_cstar(rows: np.ndarray, cols: np.ndarray,
+                   src_h: int) -> np.ndarray:
+    """Pass-1 column-index field for the two-pass (Catmull-Smith) warp.
+
+    rows/cols (Hd, Wd) are the dst->src fractional index fields. For each
+    destination column j, its preimage in source space is the smooth curve
+    (rows[:, j], cols[:, j]); cstar[m, j] is the fractional source COLUMN
+    where that curve crosses source ROW m — i.e. the horizontal resampling
+    position pass 1 must evaluate on each source scanline. Computed by
+    monotone interpolation of cols over rows per destination column
+    (projection curves are smooth; inversion error is far below 1e-3 px).
+    Outside the curve's row span the end values are held (those scanlines
+    only feed edge taps, which the validity channel renormalises away).
+    """
+    rows = np.asarray(rows, dtype=np.float64)
+    cols = np.asarray(cols, dtype=np.float64)
+    hd, wd = rows.shape
+    m = np.arange(src_h, dtype=np.float64)
+    cstar = np.empty((src_h, wd), dtype=np.float64)
+    for j in range(wd):
+        rj, cj = rows[:, j], cols[:, j]
+        if hd >= 2 and rj[0] > rj[-1]:
+            rj, cj = rj[::-1], cj[::-1]
+        cstar[:, j] = np.interp(m, rj, cj)
+    return cstar.astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Device kernels
 # ---------------------------------------------------------------------------
@@ -450,6 +477,114 @@ def orthowarp_taploop(raw: jax.Array, glt_flat_idx: jax.Array,
                  & (cols >= -0.5) & (cols <= wo - 0.5))[..., None]
     out = jnp.where(centre_in, out, jnp.asarray(fill, jnp.float32))
     return out[:hd]
+
+
+def _kernel_profile(dist: jax.Array, method: str) -> jax.Array:
+    """Resampling weight of a source sample at signed pixel distance
+    ``dist`` from the sampling position. Evaluating this over an iota
+    yields the banded interpolation matrix whose rows are exactly the
+    per-tap weights of ``warp_interpolate`` (cubic a = -0.5)."""
+    ax = jnp.abs(dist)
+    if method == "bilinear":
+        return jnp.maximum(0.0, 1.0 - ax)
+    if method != "cubic":
+        raise ValueError(f"Unknown method {method!r}")
+    a = -0.5
+    w1 = (a + 2.0) * ax ** 3 - (a + 3.0) * ax ** 2 + 1.0
+    w2 = a * ax ** 3 - 5.0 * a * ax ** 2 + 8.0 * a * ax - 4.0 * a
+    return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+
+
+@partial(jax.jit,
+         static_argnames=("method", "fill", "block_rows_src",
+                          "block_rows_dst"))
+def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
+                       glt_valid: jax.Array, rows: jax.Array,
+                       cols: jax.Array, cstar: jax.Array,
+                       method: str = "cubic",
+                       fill: float = NO_DATA_VALUE,
+                       block_rows_src: int = 64,
+                       block_rows_dst: int = 64) -> jax.Array:
+    """Two-pass (Catmull-Smith scanline) fused GLT + warp on the MXU.
+
+    ``orthowarp_taploop`` is gather-transaction-bound: 16 cubic taps x one
+    HBM row transaction per destination pixel. This variant replaces the
+    per-pixel 2D gathers with two banded-matrix multiplies: pass 1
+    resamples every source scanline horizontally at the destination
+    columns' preimage positions (``cstar`` from :func:`scanline_cstar`);
+    pass 2 resamples vertically at the ``rows`` field. The banded weight
+    matrices are built on the fly by evaluating the interpolation kernel
+    at (index - iota) distances, and a validity channel is carried through
+    both contractions so a single final division reproduces the taploop's
+    joint nodata renormalisation.
+
+    Exactness: identical sampling *positions* (the pass-1 curve inversion
+    is exact where the preimage curves are monotone), but the effective 2D
+    kernel is the scanline-sheared tensor product rather than the axis-
+    aligned one, so values differ from ``orthowarp_taploop`` by
+    O(shear^2) — sub-1e-3 reflectance for EMIT-scale meridian convergence
+    (see tests). Use the taploop for bit parity with gdalwarp semantics;
+    use this for speed (the matmuls run at MXU rates instead of gather
+    rates).
+    """
+    b = raw.shape[-1]
+    raw_flat = raw.reshape(-1, b)
+    ho, wo = glt_flat_idx.shape
+    hd, wd = rows.shape
+    be = b + 1
+    prec = jax.lax.Precision.HIGHEST
+
+    # GLT materialisation (1 gather) + validity channel
+    v = jnp.take(raw_flat, glt_flat_idx.reshape(-1),
+                 axis=0).reshape(ho, wo, b)
+    valid = glt_valid.astype(jnp.float32)[..., None]
+    src_ext = jnp.concatenate([v * valid, valid], axis=-1)
+
+    # ---- pass 1: horizontal resample of each source scanline ----------
+    mb = block_rows_src
+    n1 = -(-ho // mb)
+    src_p = jnp.pad(src_ext, ((0, n1 * mb - ho), (0, 0), (0, 0)))
+    cstar_p = jnp.pad(cstar.astype(jnp.float32),
+                      ((0, n1 * mb - ho), (0, 0)),
+                      constant_values=-1e6)
+    iota_c = jnp.arange(wo, dtype=jnp.float32)
+
+    def body1(i, h):
+        m0 = i * mb
+        slab = jax.lax.dynamic_slice(src_p, (m0, 0, 0), (mb, wo, be))
+        cs = jax.lax.dynamic_slice(cstar_p, (m0, 0), (mb, wd))
+        W1 = _kernel_profile(cs[:, :, None] - iota_c[None, None, :], method)
+        hblk = jnp.einsum("mjc,mcb->mjb", W1, slab, precision=prec)
+        return jax.lax.dynamic_update_slice(h, hblk, (m0, 0, 0))
+
+    h = jnp.zeros((n1 * mb, wd, be), jnp.float32)
+    h = jax.lax.fori_loop(0, n1, body1, h)[:ho]
+
+    # ---- pass 2: vertical resample at the destination rows ------------
+    h_t = jnp.transpose(h, (1, 0, 2))  # (Wd, Ho, B+1)
+    rb = block_rows_dst
+    n2 = -(-hd // rb)
+    rows_p = jnp.pad(rows, ((0, n2 * rb - hd), (0, 0)),
+                     constant_values=-1e6)
+    iota_m = jnp.arange(ho, dtype=jnp.float32)
+
+    def body2(i, out):
+        r0 = i * rb
+        rs = jax.lax.dynamic_slice(rows_p, (r0, 0), (rb, wd))
+        V = _kernel_profile(rs[:, :, None] - iota_m[None, None, :], method)
+        oblk = jnp.einsum("rjm,jmb->rjb", V, h_t, precision=prec)
+        return jax.lax.dynamic_update_slice(out, oblk, (r0, 0, 0))
+
+    out_ext = jnp.zeros((n2 * rb, wd, be), jnp.float32)
+    out_ext = jax.lax.fori_loop(0, n2, body2, out_ext)[:hd]
+
+    den = out_ext[..., -1:]
+    good = jnp.abs(den) > 1e-6
+    res = jnp.where(good, out_ext[..., :b] / jnp.where(good, den, 1.0),
+                    jnp.asarray(fill, jnp.float32))
+    centre_in = ((rows >= -0.5) & (rows <= ho - 0.5)
+                 & (cols >= -0.5) & (cols <= wo - 0.5))[..., None]
+    return jnp.where(centre_in, res, jnp.asarray(fill, jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("method", "fill", "band_chunk"))

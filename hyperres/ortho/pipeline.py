@@ -35,7 +35,8 @@ from ..io.tiff import TiffReader
 from ..io.xml_sidecar import write_xml_sidecar
 from ..kernels.glt import glt_gather, prepare_glt
 from ..kernels.warp import (
-    orthowarp_taploop, resample_to_grid, source_index_field,
+    orthowarp_taploop, orthowarp_two_pass, resample_to_grid,
+    scanline_cstar, source_index_field,
 )
 from . import products
 
@@ -201,11 +202,24 @@ def orthorectify_granule(
     wr_field, wc_field = source_index_field(g.ortho_grid, utm_grid)
     wr_j = jnp.asarray(wr_field)
     wc_j = jnp.asarray(wc_field)
+    use_two_pass = (cfg.fused_orthowarp and cfg.warp_kernel == "two_pass"
+                    and cfg.resampling in ("cubic", "bilinear"))
+    cstar_j = (jnp.asarray(scanline_cstar(wr_field, wc_field,
+                                          g.ortho_grid.height))
+               if use_two_pass else None)
 
     def _export_product(cube_raw: np.ndarray, kind: str,
                         envi_path: Path, hdr_extra: Dict) -> Tuple[np.ndarray, Grid]:
         """gather -> warp -> ENVI write; returns the UTM cube."""
-        if cfg.fused_orthowarp and cfg.resampling in ("cubic", "bilinear"):
+        if use_two_pass:
+            t = time.perf_counter()
+            utm = np.asarray(orthowarp_two_pass(
+                jnp.asarray(cube_raw, jnp.float32), flat_j, valid_j,
+                wr_j, wc_j, cstar_j, method=cfg.resampling,
+                fill=NO_DATA_VALUE))
+            timer.record(f"{kind}_two_pass_orthowarp", t,
+                         shape=list(utm.shape), resampling=cfg.resampling)
+        elif cfg.fused_orthowarp and cfg.resampling in ("cubic", "bilinear"):
             t = time.perf_counter()
             utm = np.asarray(orthowarp_taploop(
                 jnp.asarray(cube_raw, jnp.float32), flat_j, valid_j,

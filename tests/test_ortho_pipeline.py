@@ -40,7 +40,10 @@ def test_outputs_exist(result):
     assert "loc_envi_bin" in info["outputs"]
     assert info["glt_diag"]["valid_glt_dropped_oob"] == 0
     # stage timings recorded
-    assert info["stages"]["data_fused_orthowarp"]["seconds"] >= 0
+    warp_stage = ("data_two_pass_orthowarp"
+                  if "data_two_pass_orthowarp" in info["stages"]
+                  else "data_fused_orthowarp")
+    assert info["stages"][warp_stage]["seconds"] >= 0
 
 
 def test_utm_grid_is_s2_anchored(result, scene):

@@ -125,7 +125,8 @@ def test_pipeline_with_coregistration(tmp_path, rng):
         scene.emit_nc_path, shifted_path, tmp_path / "out",
         coregister=True,
         coreg_config=CoregConfig(window_size=(256, 256), grid_res=120,
-                                 max_points=9, min_reliability=20),
+                                 max_points=9, min_reliability=20,
+                                 max_shift=8.0),
         tiling_config=TilingConfig(emit_tile_size=16, max_black_frac=0.1),
         max_tiles=2, train_sr=False)
     assert res.info["coreg"] is not None
