@@ -549,19 +549,21 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
                       constant_values=-1e6)
     iota_c = jnp.arange(wo, dtype=jnp.float32)
 
+    # h is built directly in pass-2 layout (Wd, Ho_padded, B+1) — the
+    # per-block transpose is cheap and avoids materialising a second
+    # multi-GB copy of the intermediate
     def body1(i, h):
         m0 = i * mb
         slab = jax.lax.dynamic_slice(src_p, (m0, 0, 0), (mb, wo, be))
         cs = jax.lax.dynamic_slice(cstar_p, (m0, 0), (mb, wd))
         W1 = _kernel_profile(cs[:, :, None] - iota_c[None, None, :], method)
-        hblk = jnp.einsum("mjc,mcb->mjb", W1, slab, precision=prec)
-        return jax.lax.dynamic_update_slice(h, hblk, (m0, 0, 0))
+        hblk = jnp.einsum("mjc,mcb->jmb", W1, slab, precision=prec)
+        return jax.lax.dynamic_update_slice(h, hblk, (0, m0, 0))
 
-    h = jnp.zeros((n1 * mb, wd, be), jnp.float32)
-    h = jax.lax.fori_loop(0, n1, body1, h)[:ho]
+    h_t = jnp.zeros((wd, n1 * mb, be), jnp.float32)
+    h_t = jax.lax.fori_loop(0, n1, body1, h_t)[:, :ho]
 
     # ---- pass 2: vertical resample at the destination rows ------------
-    h_t = jnp.transpose(h, (1, 0, 2))  # (Wd, Ho, B+1)
     rb = block_rows_dst
     n2 = -(-hd // rb)
     rows_p = jnp.pad(rows, ((0, n2 * rb - hd), (0, 0)),

@@ -21,7 +21,9 @@ def main():
     from hyperres.core.crs import CRS
     from hyperres.core.grid import Grid, s2_anchored_target_grid
     from hyperres.kernels.glt import prepare_glt
-    from hyperres.kernels.warp import orthowarp_taploop, source_index_field
+    from hyperres.kernels.warp import (orthowarp_taploop,
+                                       orthowarp_two_pass, scanline_cstar,
+                                       source_index_field)
     from hyperres.pipeline import psnr, sam
     from hyperres.testing import scenes
 
@@ -74,32 +76,39 @@ def main():
     flat_idx, valid = prepare_glt(glt, (raw_h, raw_w))
     wr, wc = source_index_field(og, utm60)
 
+    cstar = scanline_cstar(wr, wc, og.height)
     print(f"raw {raw_h}x{raw_w}x{n_bands}; utm60 "
           f"{utm60.height}x{utm60.width}", flush=True)
-    t0 = time.perf_counter()
-    cube = np.asarray(orthowarp_taploop(
-        jax.device_put(raw), jax.device_put(flat_idx),
-        jax.device_put(valid), jax.device_put(wr), jax.device_put(wc),
-        method="cubic", fill=-9999.0, row_chunks=64))
-    print(f"fused orthowarp (incl. compile+transfer): "
-          f"{time.perf_counter() - t0:.1f}s", flush=True)
 
     # truth at UTM pixel centres
     uxs, uys = utm60.pixel_center_coords()
     UX, UY = np.meshgrid(uxs, uys)
     truth = scenes.truth_reflectance(UX, UY, spectra, seed=0)
-    vmask = cube[..., 0] != -9999.0
-    from scipy.ndimage import binary_erosion
-    interior = binary_erosion(vmask, iterations=2)
-    p = psnr(cube[interior], truth[interior])
-    s = sam(cube[interior], truth[interior])
-    # the injected sensor noise bounds achievable PSNR
     noise_floor_db = 10 * np.log10(1.0 / noise ** 2)
-    print(f"valid fraction: {vmask.mean():.3f}")
-    print(f"PSNR vs world truth: {p:.2f} dB "
-          f"(sensor-noise ceiling ~{noise_floor_db:.1f} dB)")
-    print(f"SAM vs world truth:  {s:.5f} rad")
-    assert p > 30.0 and s < 0.05
+
+    from scipy.ndimage import binary_erosion
+    dev = [jax.device_put(a) for a in (raw, flat_idx, valid, wr, wc)]
+    for kernel in ("taploop", "two_pass"):
+        t0 = time.perf_counter()
+        if kernel == "two_pass":
+            cube = np.asarray(orthowarp_two_pass(
+                *dev, jax.device_put(cstar), method="cubic",
+                fill=-9999.0))
+        else:
+            cube = np.asarray(orthowarp_taploop(
+                *dev, method="cubic", fill=-9999.0, row_chunks=64))
+        print(f"{kernel} orthowarp (incl. compile+transfer): "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        vmask = cube[..., 0] != -9999.0
+        interior = binary_erosion(vmask, iterations=2)
+        p = psnr(cube[interior], truth[interior])
+        s = sam(cube[interior], truth[interior])
+        print(f"{kernel}: valid fraction {vmask.mean():.3f}; "
+              f"PSNR vs world truth {p:.2f} dB "
+              f"(sensor-noise ceiling ~{noise_floor_db:.1f} dB); "
+              f"SAM {s:.5f} rad", flush=True)
+        assert p > 30.0 and s < 0.05
+        del cube
     print("PASS")
 
 
