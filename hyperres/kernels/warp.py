@@ -497,14 +497,15 @@ def _kernel_profile(dist: jax.Array, method: str) -> jax.Array:
 
 @partial(jax.jit,
          static_argnames=("method", "fill", "block_rows_src",
-                          "block_rows_dst"))
+                          "block_rows_dst", "precision"))
 def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
                        glt_valid: jax.Array, rows: jax.Array,
                        cols: jax.Array, cstar: jax.Array,
                        method: str = "cubic",
                        fill: float = NO_DATA_VALUE,
                        block_rows_src: int = 64,
-                       block_rows_dst: int = 64) -> jax.Array:
+                       block_rows_dst: int = 64,
+                       precision: str = "highest") -> jax.Array:
     """Two-pass (Catmull-Smith scanline) fused GLT + warp on the MXU.
 
     ``orthowarp_taploop`` is gather-transaction-bound: 16 cubic taps x one
@@ -532,7 +533,9 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
     ho, wo = glt_flat_idx.shape
     hd, wd = rows.shape
     be = b + 1
-    prec = jax.lax.Precision.HIGHEST
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
 
     # GLT materialisation (1 gather) + validity channel
     v = jnp.take(raw_flat, glt_flat_idx.reshape(-1),
