@@ -505,7 +505,7 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
                        fill: float = NO_DATA_VALUE,
                        block_rows_src: int = 64,
                        block_rows_dst: int = 64,
-                       precision: str = "highest") -> jax.Array:
+                       precision: str = "high") -> jax.Array:
     """Two-pass (Catmull-Smith scanline) fused GLT + warp on the MXU.
 
     ``orthowarp_taploop`` is gather-transaction-bound: 16 cubic taps x one
@@ -527,6 +527,11 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
     (see tests). Use the taploop for bit parity with gdalwarp semantics;
     use this for speed (the matmuls run at MXU rates instead of gather
     rates).
+
+    ``precision``: "high" (default, 3-pass bf16 — measured max 4.5e-5
+    off the f32 result at granule scale, below the uint16 product
+    quantization step of 1e-4, 12% faster), "highest" (full f32), or
+    "default" (1-pass bf16, ~6e-3 error — quick-look only).
     """
     b = raw.shape[-1]
     raw_flat = raw.reshape(-1, b)
