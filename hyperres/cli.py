@@ -28,7 +28,8 @@ def _cmd_ortho(args) -> int:
         args.granule, args.out_dir, args.s2,
         obs_file=args.obs, export_loc=args.loc,
         config=OrthoConfig(overwrite=args.overwrite,
-                           save_geotiffs=not args.no_geotiffs),
+                           save_geotiffs=not args.no_geotiffs,
+                           warp_kernel=args.warp_kernel),
         save_info_path=Path(args.out_dir) / "ortho_info.json")
     print(json.dumps({"data_envi_bin": str(res.data_envi_bin),
                       "outputs": res.info.get("outputs", {}),
@@ -133,6 +134,10 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--loc", action="store_true")
     o.add_argument("--overwrite", action="store_true")
     o.add_argument("--no-geotiffs", action="store_true")
+    o.add_argument("--warp-kernel", choices=["two_pass", "taploop"],
+                   default="two_pass",
+                   help="two_pass: scanline MXU matmuls (fast); "
+                        "taploop: exact per-tap gathers")
     o.set_defaults(fn=_cmd_ortho)
 
     f = sub.add_parser("fuse", help="full pair pipeline")
