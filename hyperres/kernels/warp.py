@@ -548,6 +548,27 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
     valid = glt_valid.astype(jnp.float32)[..., None]
     src_ext = jnp.concatenate([v * valid, valid], axis=-1)
 
+    out_ext = _two_pass_core(src_ext, rows, cstar, method,
+                             block_rows_src, block_rows_dst, prec)
+    den = out_ext[..., -1:]
+    good = jnp.abs(den) > 1e-6
+    res = jnp.where(good, out_ext[..., :b] / jnp.where(good, den, 1.0),
+                    jnp.asarray(fill, jnp.float32))
+    centre_in = ((rows >= -0.5) & (rows <= ho - 0.5)
+                 & (cols >= -0.5) & (cols <= wo - 0.5))[..., None]
+    return jnp.where(centre_in, res, jnp.asarray(fill, jnp.float32))
+
+
+def _two_pass_core(src_ext: jax.Array, rows: jax.Array, cstar: jax.Array,
+                   method: str, block_rows_src: int, block_rows_dst: int,
+                   prec) -> jax.Array:
+    """Shared scanline machinery: horizontal pass over source scanlines
+    at the ``cstar`` positions, then vertical pass at the ``rows`` field.
+    src_ext (Ho, Wo, C) already carries whatever validity channels the
+    caller wants renormalised; returns (Hd, Wd, C)."""
+    ho, wo, be = src_ext.shape
+    hd, wd = rows.shape
+
     # ---- pass 1: horizontal resample of each source scanline ----------
     mb = block_rows_src
     n1 = -(-ho // mb)
@@ -557,7 +578,7 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
                       constant_values=-1e6)
     iota_c = jnp.arange(wo, dtype=jnp.float32)
 
-    # h is built directly in pass-2 layout (Wd, Ho_padded, B+1) — the
+    # h is built directly in pass-2 layout (Wd, Ho_padded, C) — the
     # per-block transpose is cheap and avoids materialising a second
     # multi-GB copy of the intermediate
     def body1(i, h):
@@ -586,14 +607,51 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
         return jax.lax.dynamic_update_slice(out, oblk, (r0, 0, 0))
 
     out_ext = jnp.zeros((n2 * rb, wd, be), jnp.float32)
-    out_ext = jax.lax.fori_loop(0, n2, body2, out_ext)[:hd]
+    return jax.lax.fori_loop(0, n2, body2, out_ext)[:hd]
 
-    den = out_ext[..., -1:]
+
+@partial(jax.jit,
+         static_argnames=("method", "fill", "has_nodata",
+                          "block_rows_src", "block_rows_dst", "precision"))
+def warp_two_pass(img: jax.Array, rows: jax.Array, cols: jax.Array,
+                  cstar: jax.Array, nodata: Optional[float] = None,
+                  method: str = "cubic", fill: float = NO_DATA_VALUE,
+                  has_nodata: Optional[bool] = None,
+                  block_rows_src: int = 64, block_rows_dst: int = 64,
+                  precision: str = "high") -> jax.Array:
+    """Generic two-pass scanline warp (no GLT): the MXU counterpart of
+    ``warp_interpolate`` for large reprojections. Per-band nodata is
+    renormalised by carrying one validity channel per band through both
+    contractions (doubling the contraction width). Requires ``rows`` to
+    be monotone along axis 0 per destination column (checked by
+    :func:`resample_to_grid` before routing here)."""
+    h, w, b = img.shape
+    if has_nodata is None:
+        has_nodata = nodata is not None
+    if has_nodata:
+        validf = ((img != nodata)
+                  & jnp.isfinite(img)).astype(jnp.float32)
+        src_ext = jnp.concatenate(
+            [jnp.where(validf > 0, img, 0.0).astype(jnp.float32), validf],
+            axis=-1)
+        nv = b
+    else:
+        src_ext = jnp.concatenate(
+            [img.astype(jnp.float32),
+             jnp.ones(img.shape[:2] + (1,), jnp.float32)], axis=-1)
+        nv = 1
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+    out_ext = _two_pass_core(src_ext, rows, cstar, method,
+                             block_rows_src, block_rows_dst, prec)
+    num = out_ext[..., :b]
+    den = out_ext[..., b:]  # (Hd, Wd, nv) — per band or shared
     good = jnp.abs(den) > 1e-6
-    res = jnp.where(good, out_ext[..., :b] / jnp.where(good, den, 1.0),
+    res = jnp.where(good, num / jnp.where(good, den, 1.0),
                     jnp.asarray(fill, jnp.float32))
-    centre_in = ((rows >= -0.5) & (rows <= ho - 0.5)
-                 & (cols >= -0.5) & (cols <= wo - 0.5))[..., None]
+    centre_in = ((rows >= -0.5) & (rows <= h - 0.5)
+                 & (cols >= -0.5) & (cols <= w - 0.5))[..., None]
     return jnp.where(centre_in, res, jnp.asarray(fill, jnp.float32))
 
 
@@ -653,6 +711,7 @@ def resample_to_grid(
     nodata: Optional[float] = None,
     fill: float = NO_DATA_VALUE,
     band_chunk: Optional[int] = None,
+    kernel: str = "auto",
 ) -> np.ndarray:
     """Resample (H, W, B) or (H, W) data from src_grid onto dst_grid.
     Returns float32 (Hd, Wd, B) (band axis preserved).
@@ -660,7 +719,10 @@ def resample_to_grid(
     Fast paths: same-CRS grids use separable 1-D index axes (no
     projection math at all); aligned integer-ratio 'average' is an exact
     block reduction. ``band_chunk`` bounds device memory for very deep
-    cubes (the interpolation gathers hold (Hd, Wd, B) accumulators)."""
+    cubes (the interpolation gathers hold (Hd, Wd, B) accumulators).
+    ``kernel``: "auto" routes large monotone cross-CRS transfers through
+    the two-pass scanline-matmul warp, "two_pass" forces it, "gather"
+    keeps the per-tap gather kernel."""
     arr = jnp.asarray(data, dtype=jnp.float32)
     squeeze = arr.ndim == 2
     if squeeze:
@@ -698,6 +760,22 @@ def resample_to_grid(
     else:
         rows_np, cols_np = source_index_field(src_grid, dst_grid)
         rows, cols = jnp.asarray(rows_np), jnp.asarray(cols_np)
+        # large cross-CRS reprojects route to the scanline-matmul warp
+        # when the row field is monotone per column (any smooth
+        # projective transfer away from a pole); small ones keep the
+        # gather kernel (compile cost dominates there)
+        diffs = np.diff(rows_np, axis=0)
+        monotone = (rows_np.shape[0] < 2
+                    or bool(np.all(diffs > 0) or np.all(diffs < 0)))
+        big = rows_np.size >= (256 * 256)
+        if (method_eff in ("bilinear", "cubic") and monotone
+                and (kernel == "two_pass" or (kernel == "auto" and big))):
+            cstar = scanline_cstar(rows_np, cols_np, src_grid.height)
+            out = warp_two_pass(arr, rows, cols, jnp.asarray(cstar),
+                                nodata=nodata, method=method_eff,
+                                fill=fill)
+            out = np.asarray(out)
+            return out[..., 0] if squeeze else out
 
     def run(block):
         if method_eff == "nearest":
