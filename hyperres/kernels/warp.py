@@ -559,17 +559,12 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
     return jnp.where(centre_in, res, jnp.asarray(fill, jnp.float32))
 
 
-def _two_pass_core(src_ext: jax.Array, rows: jax.Array, cstar: jax.Array,
-                   method: str, block_rows_src: int, block_rows_dst: int,
-                   prec) -> jax.Array:
-    """Shared scanline machinery: horizontal pass over source scanlines
-    at the ``cstar`` positions, then vertical pass at the ``rows`` field.
-    src_ext (Ho, Wo, C) already carries whatever validity channels the
-    caller wants renormalised; returns (Hd, Wd, C)."""
+def _two_pass_pass1(src_ext: jax.Array, cstar: jax.Array, wd: int,
+                    method: str, block_rows_src: int, prec) -> jax.Array:
+    """Horizontal pass: resample every source scanline at the ``cstar``
+    positions. src_ext (Ho, Wo, C) -> h in pass-2 layout (Wd, Ho, C).
+    (Building h directly transposed keeps one multi-GB intermediate.)"""
     ho, wo, be = src_ext.shape
-    hd, wd = rows.shape
-
-    # ---- pass 1: horizontal resample of each source scanline ----------
     mb = block_rows_src
     n1 = -(-ho // mb)
     src_p = jnp.pad(src_ext, ((0, n1 * mb - ho), (0, 0), (0, 0)))
@@ -578,9 +573,6 @@ def _two_pass_core(src_ext: jax.Array, rows: jax.Array, cstar: jax.Array,
                       constant_values=-1e6)
     iota_c = jnp.arange(wo, dtype=jnp.float32)
 
-    # h is built directly in pass-2 layout (Wd, Ho_padded, C) — the
-    # per-block transpose is cheap and avoids materialising a second
-    # multi-GB copy of the intermediate
     def body1(i, h):
         m0 = i * mb
         slab = jax.lax.dynamic_slice(src_p, (m0, 0, 0), (mb, wo, be))
@@ -589,25 +581,52 @@ def _two_pass_core(src_ext: jax.Array, rows: jax.Array, cstar: jax.Array,
         hblk = jnp.einsum("mjc,mcb->jmb", W1, slab, precision=prec)
         return jax.lax.dynamic_update_slice(h, hblk, (0, m0, 0))
 
-    h_t = jnp.zeros((wd, n1 * mb, be), jnp.float32)
-    h_t = jax.lax.fori_loop(0, n1, body1, h_t)[:, :ho]
+    # derive the zero carry from the inputs so it inherits their varying
+    # manual axes under shard_map (a plain jnp.zeros would be unsharded)
+    zero = (cstar[0, 0] * 0.0 + src_ext[0, 0, 0] * 0.0).astype(jnp.float32)
+    h_t = jnp.zeros((wd, n1 * mb, be), jnp.float32) + zero
+    return jax.lax.fori_loop(0, n1, body1, h_t)[:, :ho]
 
-    # ---- pass 2: vertical resample at the destination rows ------------
+
+def _two_pass_pass2(h_t: jax.Array, rows: jax.Array, method: str,
+                    block_rows_dst: int, prec,
+                    m_valid: Optional[jax.Array] = None) -> jax.Array:
+    """Vertical pass: resample the scanline intermediate h_t (Wd, M, C)
+    at the ``rows`` field (fractional indices into h_t's M axis).
+    ``m_valid`` (M,) optionally zeroes scanlines that must not contribute
+    (e.g. halo rows replicated past the global image edge)."""
+    wd, m_rows, be = h_t.shape
+    hd = rows.shape[0]
     rb = block_rows_dst
     n2 = -(-hd // rb)
     rows_p = jnp.pad(rows, ((0, n2 * rb - hd), (0, 0)),
                      constant_values=-1e6)
-    iota_m = jnp.arange(ho, dtype=jnp.float32)
+    iota_m = jnp.arange(m_rows, dtype=jnp.float32)
 
     def body2(i, out):
         r0 = i * rb
         rs = jax.lax.dynamic_slice(rows_p, (r0, 0), (rb, wd))
         V = _kernel_profile(rs[:, :, None] - iota_m[None, None, :], method)
+        if m_valid is not None:
+            V = V * m_valid[None, None, :]
         oblk = jnp.einsum("rjm,jmb->rjb", V, h_t, precision=prec)
         return jax.lax.dynamic_update_slice(out, oblk, (r0, 0, 0))
 
-    out_ext = jnp.zeros((n2 * rb, wd, be), jnp.float32)
+    zero = (rows[0, 0] * 0.0 + h_t[0, 0, 0] * 0.0).astype(jnp.float32)
+    out_ext = jnp.zeros((n2 * rb, wd, be), jnp.float32) + zero
     return jax.lax.fori_loop(0, n2, body2, out_ext)[:hd]
+
+
+def _two_pass_core(src_ext: jax.Array, rows: jax.Array, cstar: jax.Array,
+                   method: str, block_rows_src: int, block_rows_dst: int,
+                   prec) -> jax.Array:
+    """Shared scanline machinery: horizontal pass over source scanlines
+    at the ``cstar`` positions, then vertical pass at the ``rows`` field.
+    src_ext (Ho, Wo, C) already carries whatever validity channels the
+    caller wants renormalised; returns (Hd, Wd, C)."""
+    wd = rows.shape[1]
+    h_t = _two_pass_pass1(src_ext, cstar, wd, method, block_rows_src, prec)
+    return _two_pass_pass2(h_t, rows, method, block_rows_dst, prec)
 
 
 @partial(jax.jit,

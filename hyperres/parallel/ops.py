@@ -21,6 +21,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
@@ -223,3 +224,96 @@ def sharded_orthowarp(raw, glt_flat_idx, glt_valid, rows, cols, mesh: Mesh,
     return run(jnp.asarray(raw), jnp.asarray(glt_flat_idx),
                jnp.asarray(glt_valid), jnp.asarray(rows),
                jnp.asarray(cols))
+
+
+def sharded_orthowarp_two_pass(raw, glt_flat_idx, glt_valid, rows, cols,
+                               cstar, mesh: Mesh, axis: str = "data",
+                               method: str = "cubic",
+                               fill: float = -9999.0, halo: int = 32,
+                               precision: str = "high"):
+    """Multi-chip two-pass scanline ortho-warp.
+
+    SPMD decomposition: pass 1 (horizontal, per source scanline) is
+    sharded over the SOURCE scanline axis — each chip GLT-gathers and
+    resamples only its own scanlines; pass 2 (vertical, per destination
+    row) is sharded over the DESTINATION row axis. Because the row field
+    is monotone, destination shard i needs source scanlines from
+    (roughly) source shard i plus a bounded overlap — satisfied with a
+    single ``ppermute`` halo exchange of ``halo`` scanlines per
+    neighbour; no all-gather and no collectives in either matmul pass.
+
+    Requirements checked here on the host: source height and destination
+    height divisible by the mesh axis; every destination shard's
+    scanline support (rows field ± kernel radius) within its halo-
+    extended window (raise otherwise — increase ``halo``).
+    """
+    from ..kernels.warp import (_kernel_profile, _two_pass_pass1,
+                                _two_pass_pass2)
+
+    n = mesh.shape[axis]
+    ho, wo = np.asarray(glt_flat_idx).shape
+    hd, wd = np.asarray(rows).shape
+    if ho % n or hd % n:
+        raise ValueError(f"source height {ho} and destination height "
+                         f"{hd} must divide the mesh axis {n}")
+    ho_l, hd_l = ho // n, hd // n
+    radius = 2.0 if method == "cubic" else 1.0
+    rows_np = np.asarray(rows)
+    for i in range(n):
+        blk = rows_np[i * hd_l:(i + 1) * hd_l]
+        lo = np.floor(blk.min() - radius)
+        hi = np.ceil(blk.max() + radius)
+        if lo < i * ho_l - halo or hi > (i + 1) * ho_l + halo:
+            raise ValueError(
+                f"destination shard {i} needs scanlines [{lo}, {hi}] "
+                f"outside its halo window "
+                f"[{i * ho_l - halo}, {(i + 1) * ho_l + halo}]; "
+                f"increase halo")
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+             out_specs=P(axis))
+    def run(raw_s, gf_s, gv_s, rows_s, cols_s, cstar_s):
+        idx = jax.lax.axis_index(axis)
+        b = raw_s.shape[-1]
+        raw_flat = raw_s.reshape(-1, b)
+        v = jnp.take(raw_flat, gf_s.reshape(-1),
+                     axis=0).reshape(gf_s.shape + (b,))
+        validf = gv_s.astype(jnp.float32)[..., None]
+        src_ext = jnp.concatenate([v * validf, validf], axis=-1)
+        # pass 1 on my scanlines only
+        h_t = _two_pass_pass1(src_ext, cstar_s, wd, method,
+                              min(64, ho_l), prec)  # (Wd, ho_l, C)
+        # halo exchange along the scanline axis: receive the last `halo`
+        # scanlines of the previous shard and the first `halo` of the
+        # next (edges filled with zeros and masked out in pass 2)
+        fwd = [(j, (j + 1) % n) for j in range(n)]
+        bwd = [(j, (j - 1) % n) for j in range(n)]
+        from_prev = jax.lax.ppermute(h_t[:, -halo:], axis, fwd)
+        from_next = jax.lax.ppermute(h_t[:, :halo], axis, bwd)
+        h_ext = jnp.concatenate([from_prev, h_t, from_next], axis=1)
+        # local fractional scanline index + global-bounds validity mask
+        offset = (idx * ho_l - halo).astype(jnp.float32)
+        rows_local = rows_s - offset
+        m_global = jnp.arange(ho_l + 2 * halo, dtype=jnp.float32) + offset
+        m_valid = ((m_global >= 0) & (m_global < ho)
+                   # wrap-around halo rows are garbage at the outer edges
+                   & (m_global >= (idx - 1) * ho_l)
+                   & (m_global < (idx + 2) * ho_l)).astype(jnp.float32)
+        out_ext = _two_pass_pass2(h_ext, rows_local, method,
+                                  min(64, hd_l), prec, m_valid=m_valid)
+        den = out_ext[..., -1:]
+        good = jnp.abs(den) > 1e-6
+        res = jnp.where(good,
+                        out_ext[..., :b] / jnp.where(good, den, 1.0),
+                        jnp.asarray(fill, jnp.float32))
+        centre_in = ((rows_s >= -0.5) & (rows_s <= ho - 0.5)
+                     & (cols_s >= -0.5) & (cols_s <= wo - 0.5))[..., None]
+        return jnp.where(centre_in, res, jnp.asarray(fill, jnp.float32))
+
+    return run(jnp.asarray(raw), jnp.asarray(glt_flat_idx),
+               jnp.asarray(glt_valid), jnp.asarray(rows),
+               jnp.asarray(cols), jnp.asarray(cstar))

@@ -239,3 +239,60 @@ def test_sharded_orthowarp_matches_single(eight_devices, rng):
     np.testing.assert_allclose(got, want, rtol=0, atol=5e-3)
     diffs = np.abs(got - want)
     assert np.percentile(diffs, 99) < 1e-4
+
+
+def test_sharded_orthowarp_two_pass_matches_single(eight_devices, rng):
+    """8-way SPMD two-pass warp (pass-1 sharded by source scanlines,
+    ppermute halo exchange, pass-2 sharded by destination rows) matches
+    the single-device kernel."""
+    from hyperres.kernels.glt import prepare_glt
+    from hyperres.kernels.warp import orthowarp_two_pass, scanline_cstar
+    from hyperres.parallel import make_mesh, sharded_orthowarp_two_pass
+
+    raw = rng.random((40, 44, 6)).astype(np.float32)
+    ho, wo = 64, 48   # divisible by 8
+    hd, wd = 64, 50
+    glt = np.zeros((ho, wo, 2), dtype=np.int32)
+    valid = rng.random((ho, wo)) > 0.2
+    glt[..., 0] = np.where(valid, rng.integers(1, 45, (ho, wo)), 0)
+    glt[..., 1] = np.where(valid, rng.integers(1, 41, (ho, wo)), 0)
+    flat_idx, vmask = prepare_glt(glt, (40, 44))
+    # smooth monotone projective-like field with mild shear
+    r = np.arange(hd, dtype=np.float32)[:, None]
+    j = np.arange(wd, dtype=np.float32)[None, :]
+    rows = (r * (ho / hd) + 0.003 * j * r / hd + 0.2).astype(np.float32)
+    cols = (j * (wo / wd) + 0.002 * r - 0.1).astype(np.float32)
+    cstar = scanline_cstar(rows, cols, ho)
+
+    want = np.asarray(orthowarp_two_pass(
+        jnp.asarray(raw), jnp.asarray(flat_idx), jnp.asarray(vmask),
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(cstar),
+        method="cubic", block_rows_src=8, block_rows_dst=8))
+    mesh = make_mesh(axis_names=("data",))
+    got = np.asarray(sharded_orthowarp_two_pass(
+        raw, flat_idx, vmask, rows, cols, cstar, mesh, halo=8))
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
+    d = np.abs(got - want)
+    assert np.percentile(d, 99) < 1e-5
+
+
+def test_sharded_two_pass_halo_guard(eight_devices, rng):
+    """An insufficient halo is rejected on the host with a clear error."""
+    from hyperres.kernels.glt import prepare_glt
+    from hyperres.kernels.warp import scanline_cstar
+    from hyperres.parallel import make_mesh, sharded_orthowarp_two_pass
+
+    raw = rng.random((20, 22, 2)).astype(np.float32)
+    ho, wo, hd, wd = 32, 24, 64, 26   # dst 2x the scanlines -> big skew
+    glt = np.ones((ho, wo, 2), dtype=np.int32)
+    flat_idx, vmask = prepare_glt(glt, (20, 22))
+    rows = np.broadcast_to(
+        (np.arange(hd, dtype=np.float32) * ho / hd)[:, None],
+        (hd, wd)).copy()
+    cols = np.broadcast_to(np.arange(wd, dtype=np.float32)[None, :] * 0.9,
+                           (hd, wd)).copy()
+    cstar = scanline_cstar(rows, cols, ho)
+    mesh = make_mesh(axis_names=("data",))
+    with pytest.raises(ValueError, match="increase halo"):
+        sharded_orthowarp_two_pass(raw, flat_idx, vmask, rows, cols,
+                                   cstar, mesh, halo=1)
