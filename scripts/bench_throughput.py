@@ -21,7 +21,8 @@ def main():
     from hyperres.kernels.sinkhorn import ot_barycentric_targets
     from hyperres.kernels.srf import build_srf_weight_matrix, srf_synthesize
     from hyperres.kernels.stats import shared_percentile_stretch
-    from hyperres.kernels.warp import (orthowarp_taploop,
+    from hyperres.kernels.warp import (orthowarp_two_pass,
+                                       scanline_cstar,
                                        separable_index_axes,
                                        separable_resample_matmul,
                                        separable_weight_matrix,
@@ -29,8 +30,12 @@ def main():
     from hyperres.spectral import builtin_srf
     from hyperres.testing import scenes
 
-    raw_h, raw_w, n_bands = 1242, 1280, 285
-    n_granules = 3
+    import os
+    scale = float(os.environ.get("HYPERRES_TP_SCALE", "1.0"))
+    raw_h = max(64, int(1242 * scale))
+    raw_w = max(64, int(1280 * scale))
+    n_bands = 285
+    n_granules = int(os.environ.get("HYPERRES_TP_GRANULES", "3"))
     wl, good = scenes.emit_wavelength_grid(n_bands)
     spectra = scenes.endmember_spectra(wl)
     utm = CRS.utm(33, True)
@@ -69,6 +74,7 @@ def main():
     utm60 = s2_anchored_target_grid(og, s2g, 60.0, 60.0)
     flat_idx, valid = prepare_glt(glt, (raw_h, raw_w))
     wr, wc = source_index_field(og, utm60)
+    cstar = scanline_cstar(wr, wc, og.height)
     sep = separable_index_axes(utm60, s2g)
     srf3 = builtin_srf("S2A", bands=["B2", "B3", "B4"])
     W3, _, _ = build_srf_weight_matrix(wl, srf3, good)
@@ -85,11 +91,11 @@ def main():
 
     ot_cfg = OTConfig()
 
-    def pipe(raw_j, flat_j, valid_j, wr_j, wc_j, W_j, s2rgb_j, Wr10,
-             Wc10, key):
-        utm_cube = orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
-                                     method="cubic", fill=-9999.0,
-                                     row_chunks=64)
+    def pipe(raw_j, flat_j, valid_j, wr_j, wc_j, cstar_j, W_j, s2rgb_j,
+             Wr10, Wc10, key):
+        utm_cube = orthowarp_two_pass(raw_j, flat_j, valid_j, wr_j, wc_j,
+                                      cstar_j, method="cubic",
+                                      fill=-9999.0)
         synth = srf_synthesize(utm_cube, W_j, fast=True)
         valid60 = (utm_cube[..., 0] != -9999.0)
         sim_n = shared_percentile_stretch(synth[..., ::-1], valid60)
@@ -111,6 +117,7 @@ def main():
     flat_j = jax.device_put(flat_idx)
     valid_j = jax.device_put(valid)
     wr_j = jax.device_put(wr)
+    cstar_j = jax.device_put(cstar)
     wc_j = jax.device_put(wc)
     W_j = jax.device_put(np.asarray(W3))
     Wr10 = jax.device_put(separable_weight_matrix(sep[0], utm60.height,
@@ -126,7 +133,7 @@ def main():
 
     # warmup (compile) on granule 0
     raw, s2rgb = granules[0]
-    fused = jitted(jax.device_put(raw), flat_j, valid_j, wr_j, wc_j, W_j,
+    fused = jitted(jax.device_put(raw), flat_j, valid_j, wr_j, wc_j, cstar_j, W_j,
                    jax.device_put(s2rgb), Wr10, Wc10,
                    jax.random.PRNGKey(0))
     jax.block_until_ready(fused)
@@ -136,7 +143,7 @@ def main():
     t0 = time.perf_counter()
     done = 0
     for raw, s2rgb in granules[1:]:
-        fused = jitted(jax.device_put(raw), flat_j, valid_j, wr_j, wc_j,
+        fused = jitted(jax.device_put(raw), flat_j, valid_j, wr_j, wc_j, cstar_j,
                        W_j, jax.device_put(s2rgb), Wr10, Wc10,
                        jax.random.PRNGKey(done + 1))
         jax.block_until_ready(fused)
@@ -148,7 +155,7 @@ def main():
     total = time.perf_counter() - t0
     print(f"throughput: {done} granules in {total:.1f}s = "
           f"{done / total * 60:.1f} granules/min "
-          f"(incl. 1.8 GB upload per granule)", flush=True)
+          f"(incl. host->device upload per granule)", flush=True)
 
 
 if __name__ == "__main__":
