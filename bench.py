@@ -283,42 +283,38 @@ def main():
                                               fill=jnp.nan)
             return jnp.clip(polyval_channels(coeffs, sim10), 0.0, 1.0)
 
-        # stage-at-a-time: warm up, time, and free each stage before the
-        # next one starts so only one stage's intermediates plus the
-        # chain's carry live at once (the remote backend frees buffers
-        # asynchronously — holding all three stage outputs OOMs).
+        # stage-at-a-time: warm up, time, free the warm-up result, and
+        # sync before moving on, so only one stage's intermediates plus
+        # the chain's carry live at once (the remote backend frees
+        # buffers asynchronously — holding all three stage outputs OOMs)
+        def timed_stage(name, fn, *args):
+            warm = fn(*args)
+            jax.block_until_ready(warm)
+            time.sleep(1.0)
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0][:1, :1])
+            log(f"stage {name}: {time.perf_counter() - t0:.3f}s")
+            for leaf in jax.tree_util.tree_leaves(warm):
+                leaf.delete()
+            _ = float(jnp.sum(jnp.zeros(8)))
+            time.sleep(2.0)
+            return out
+
         try:
-            js = [jax.jit(stage_ortho), jax.jit(stage_fit),
-                  jax.jit(stage_up)]
-            chain = [(raw_j, flat_j, valid_j, wr_j, wc_j)]
-            names = ["orthowarp", "srf+stretch+ot+fit", "upsample+apply"]
-            carry = chain[0]
-            for name, fn in zip(names, js):
-                r = fn(*carry) if name != "srf+stretch+ot+fit" else fn(
-                    carry, W_j, s2rgb_j, key)
-                jax.block_until_ready(r)
-                time.sleep(1.0)
-                t0 = time.perf_counter()
-                r2 = fn(*carry) if name != "srf+stretch+ot+fit" else fn(
-                    carry, W_j, s2rgb_j, key)
-                jax.block_until_ready(r2)
-                _ = np.asarray(jax.tree_util.tree_leaves(r2)[0][:1, :1])
-                log(f"stage {name}: {time.perf_counter() - t0:.3f}s")
-                for leaf in jax.tree_util.tree_leaves(r):
-                    leaf.delete()
-                if name == "orthowarp":
-                    carry = r2
-                elif name == "srf+stretch+ot+fit":
-                    for leaf in jax.tree_util.tree_leaves(carry):
-                        leaf.delete()
-                    sim_n, coeffs = r2
-                    carry = (sim_n, coeffs, Wr10, Wc10)
-                else:
-                    for leaf in jax.tree_util.tree_leaves(r2):
-                        leaf.delete()
-                    sim_n.delete()
-                _ = float(jnp.sum(jnp.zeros(8)))
-                time.sleep(2.0)
+            u = timed_stage("orthowarp", jax.jit(stage_ortho), raw_j,
+                            flat_j, valid_j, wr_j, wc_j)
+            sim_n, coeffs_s = timed_stage("srf+stretch+ot+fit",
+                                          jax.jit(stage_fit), u, W_j,
+                                          s2rgb_j, key)
+            u.delete()
+            fz = timed_stage("upsample+apply", jax.jit(stage_up), sim_n,
+                             coeffs_s, Wr10, Wc10)
+            fz.delete()
+            sim_n.delete()
+            _ = float(jnp.sum(jnp.zeros(8)))
+            time.sleep(2.0)
         except Exception as exc:  # diagnostics must never kill the bench
             log(f"stage diagnostics failed: {exc!r}")
 
