@@ -21,6 +21,13 @@ Resampling kernels:
 - average: exact integer-factor block mean excluding nodata (the 6x
   S2 -> EMIT grid transfer, demo cell 73 / cell 81 phase 2), falling back
   to an area-weighted gather for non-integer ratios.
+
+Execution strategies (fastest first at granule scale, measured in
+docs/BENCHMARK.md): the two-pass scanline decomposition
+(``orthowarp_two_pass`` / ``warp_two_pass`` — banded-weight matmuls on
+the MXU, default), the fused tap-loop gathers (``orthowarp_taploop`` —
+bit-exact 2D tensor-product kernel), and plain per-tap gathers
+(``warp_interpolate``) for small problems.
 """
 
 from __future__ import annotations
