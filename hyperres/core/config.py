@@ -104,6 +104,8 @@ class CoregConfig:
     max_shift: int = 50
     min_reliability: float = 60.0
     tie_point_filter_level: int = 3
+    # level-3 RANSAC consensus residual bound (px on the matching grid)
+    ransac_thresh_px: float = 3.0
     prefer_bands: Tuple[str, ...] = ("B08", "B04")
     band_target_nm: Tuple[Tuple[str, float], ...] = (("B08", 842.0), ("B04", 665.0))
     out_gsd: Tuple[float, float] = (10.0, 10.0)

@@ -48,6 +48,43 @@ class CoregResult:
     info: Dict = field(default_factory=dict)
 
 
+def ransac_affine_filter(tps: List[TiePoint], thresh_px: float = 3.0,
+                         n_iter: int = 200, seed: int = 0) -> None:
+    """AROSICS tie-point filter level 3: RANSAC consensus on the affine
+    shift model [dy, dx](r, c) = A @ [r, c, 1] (arosics_coreg.py:92-112
+    parameterises ``tieP_filter_level=3``; AROSICS implements it as a
+    RANSAC over the shift field). Marks non-consensus points
+    ``used=False`` with reason "ransac". Deterministic (seeded).
+    Engages only with enough points for a meaningful consensus (>= 8);
+    with fewer, the MAD stage is the better-conditioned filter."""
+    used = [t for t in tps if t.used]
+    if len(used) < 8:
+        return
+    G = np.stack([[t.row, t.col, 1.0] for t in used])
+    D = np.stack([[t.dy, t.dx] for t in used])
+    rng = np.random.default_rng(seed)
+    best_inliers: Optional[np.ndarray] = None
+    for _ in range(n_iter):
+        pick = rng.choice(len(used), size=3, replace=False)
+        try:
+            A, *_ = np.linalg.lstsq(G[pick], D[pick], rcond=None)
+        except np.linalg.LinAlgError:
+            continue
+        resid = np.linalg.norm(G @ A - D, axis=1)
+        inliers = resid < thresh_px
+        if best_inliers is None or inliers.sum() > best_inliers.sum():
+            best_inliers = inliers
+    if best_inliers is None or best_inliers.sum() < 3:
+        return
+    # refit on the consensus set and re-score all points against it
+    A, *_ = np.linalg.lstsq(G[best_inliers], D[best_inliers], rcond=None)
+    resid = np.linalg.norm(G @ A - D, axis=1)
+    for t, r in zip(used, resid):
+        if r >= thresh_px:
+            t.used = False
+            t.reject_reason = "ransac"
+
+
 def _tie_point_grid(h: int, w: int, grid_res: float, win: Tuple[int, int],
                     max_points: Optional[int]) -> List[Tuple[int, int]]:
     wy, wx = win
@@ -148,6 +185,13 @@ def coregister_local(
                     if t.used and abs(getattr(t, comp) - med) > 4.0 * 1.4826 * mad:
                         t.used = False
                         t.reject_reason = "mad_outlier"
+
+    # filter level 3 (continued): RANSAC consensus on the affine shift
+    # model — the AROSICS level-3 mechanism; the MAD stage above covers
+    # the small-n regime where RANSAC is ill-posed
+    if cfg.tie_point_filter_level >= 3:
+        ransac_affine_filter(tps, thresh_px=getattr(
+            cfg, "ransac_thresh_px", 3.0))
 
     used = [t for t in tps if t.used]
     if not used:

@@ -191,3 +191,34 @@ def test_local_residual_deshift_beats_affine(rng):
     m = (slice(100, -100), slice(100, -100))
     assert np.abs(dy[m] - dy_true[m]).mean() < 0.5
     assert np.abs(dx[m] - dx_true[m]).mean() < 0.5
+
+
+def test_ransac_affine_filter_rejects_gross_outliers(rng):
+    """Level-3 RANSAC: tie points on a clean affine shift field plus
+    gross outliers — the consensus keeps the field, rejects the rest."""
+    from hyperres.coreg.local import TiePoint, ransac_affine_filter
+
+    A_true = np.array([[0.001, 0.0, 2.0], [0.0, -0.002, -3.0]])
+    tps = []
+    for i in range(20):
+        r, c = int(rng.integers(0, 2000)), int(rng.integers(0, 2000))
+        dy, dx = A_true @ np.array([r, c, 1.0])
+        dy += rng.normal(scale=0.2)
+        dx += rng.normal(scale=0.2)
+        tps.append(TiePoint(col=c, row=r, dy=float(dy), dx=float(dx),
+                            reliability=80.0))
+    outlier_idx = {3, 9, 15}
+    for i in outlier_idx:
+        tps[i].dy += 25.0
+        tps[i].dx -= 18.0
+    ransac_affine_filter(tps, thresh_px=3.0)
+    rejected = {i for i, t in enumerate(tps) if not t.used}
+    assert rejected == outlier_idx, rejected
+
+
+def test_ransac_filter_noop_small_n(rng):
+    from hyperres.coreg.local import TiePoint, ransac_affine_filter
+    tps = [TiePoint(col=i, row=i, dy=1.0, dx=1.0, reliability=80.0)
+           for i in range(5)]
+    ransac_affine_filter(tps)
+    assert all(t.used for t in tps)
