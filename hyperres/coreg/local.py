@@ -219,14 +219,60 @@ def coregister_local(
               "window": [wx, wy], "grid_res": cfg.grid_res})
 
 
+def tps_fit_residuals(points_rc: np.ndarray, residuals: np.ndarray,
+                      smoothing: float = 0.0):
+    """Fit a thin-plate spline to tie-point residuals (n, 2) -> (n, 2).
+
+    Classic TPS normal system [[K + λI, P], [Pᵀ, 0]] with the radial
+    kernel U(d) = d² log d, solved per component in f64 on the host.
+    Returns (weights (n, 2), affine_part (3, 2)) for
+    :func:`tps_evaluate`."""
+    pts = np.asarray(points_rc, dtype=np.float64)
+    vals = np.asarray(residuals, dtype=np.float64)
+    n = len(pts)
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+    K = 0.5 * d2 * np.log(np.maximum(d2, 1e-20))
+    K[np.diag_indices(n)] = smoothing * n
+    P = np.concatenate([np.ones((n, 1)), pts], axis=1)
+    L = np.zeros((n + 3, n + 3))
+    L[:n, :n] = K
+    L[:n, n:] = P
+    L[n:, :n] = P.T
+    rhs = np.zeros((n + 3, 2))
+    rhs[:n] = vals
+    sol = np.linalg.solve(L, rhs)
+    return sol[:n], sol[n:]
+
+
+def tps_evaluate(points_rc: np.ndarray, weights: np.ndarray,
+                 affine_part: np.ndarray, rr: np.ndarray,
+                 cc: np.ndarray, chunk: int = 262144) -> np.ndarray:
+    """Evaluate the fitted TPS at grid points; returns (..., 2)."""
+    pts = np.asarray(points_rc, dtype=np.float64)
+    q = np.stack([rr.ravel(), cc.ravel()], axis=1).astype(np.float64)
+    out = np.empty((len(q), 2), dtype=np.float64)
+    for i0 in range(0, len(q), chunk):
+        qq = q[i0:i0 + chunk]
+        d2 = ((qq[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        U = 0.5 * d2 * np.log(np.maximum(d2, 1e-20))
+        out[i0:i0 + chunk] = (U @ weights
+                              + affine_part[0]
+                              + qq @ affine_part[1:])
+    return out.reshape(rr.shape + (2,)).astype(np.float32)
+
+
 def shift_field(result: CoregResult, shape_hw,
                 local_residuals: bool = False,
                 idw_power: float = 2.0,
-                idw_radius: Optional[float] = None):
+                idw_radius: Optional[float] = None,
+                mode: str = "idw",
+                tps_smoothing: float = 0.0):
     """Evaluate the fitted shift model over an (H, W) grid: the affine
-    component, optionally plus inverse-distance-weighted interpolation of
-    the tie-point residuals — the non-affine local deshift corresponding
-    to AROSICS' tie-point shift field. Returns (dy, dx) float32 (H, W)."""
+    component, optionally plus interpolation of the tie-point residuals
+    — the non-affine local deshift corresponding to AROSICS' tie-point
+    shift field. ``mode``: "idw" (inverse-distance weighting) or "tps"
+    (thin-plate spline, AROSICS' smooth full-local correction).
+    Returns (dy, dx) float32 (H, W)."""
     assert result.affine is not None
     h, w = shape_hw
     rr, cc = np.meshgrid(np.arange(h, dtype=np.float32),
@@ -244,15 +290,24 @@ def shift_field(result: CoregResult, shape_hw,
         res_x = np.array([t.dx - (A[1, 0] * t.row + A[1, 1] * t.col
                                   + A[1, 2]) for t in used],
                          dtype=np.float32)
-        d2 = ((rr[..., None] - pr) ** 2 + (cc[..., None] - pc) ** 2)
-        if idw_radius is not None:
-            wgt = np.where(d2 <= idw_radius ** 2,
-                           1.0 / (d2 ** (idw_power / 2.0) + 1.0), 0.0)
+        if mode == "tps":
+            pts = np.stack([pr, pc], axis=1)
+            wgt, aff = tps_fit_residuals(pts,
+                                         np.stack([res_y, res_x], axis=1),
+                                         smoothing=tps_smoothing)
+            resid = tps_evaluate(pts, wgt, aff, rr, cc)
+            dy = dy + resid[..., 0]
+            dx = dx + resid[..., 1]
         else:
-            wgt = 1.0 / (d2 ** (idw_power / 2.0) + 1.0)
-        wsum = wgt.sum(-1) + 1e-12
-        dy = dy + (wgt * res_y).sum(-1) / wsum
-        dx = dx + (wgt * res_x).sum(-1) / wsum
+            d2 = ((rr[..., None] - pr) ** 2 + (cc[..., None] - pc) ** 2)
+            if idw_radius is not None:
+                wgt = np.where(d2 <= idw_radius ** 2,
+                               1.0 / (d2 ** (idw_power / 2.0) + 1.0), 0.0)
+            else:
+                wgt = 1.0 / (d2 ** (idw_power / 2.0) + 1.0)
+            wsum = wgt.sum(-1) + 1e-12
+            dy = dy + (wgt * res_y).sum(-1) / wsum
+            dx = dx + (wgt * res_x).sum(-1) / wsum
     return dy.astype(np.float32), dx.astype(np.float32)
 
 
@@ -262,15 +317,18 @@ def deshift(
     nodata: Optional[float] = None,
     method: str = "cubic",
     local_residuals: bool = False,
+    residual_mode: str = "idw",
 ) -> np.ndarray:
     """Apply the fitted shift model: resample the target at
     (r + dy(r, c), c + dx(r, c)) — the correct_shifts equivalent.
-    ``local_residuals`` adds the IDW tie-point residual field (AROSICS'
-    local, non-affine deshift). tgt_stack (B, H, W) -> (B, H, W)."""
+    ``local_residuals`` adds the tie-point residual field (AROSICS'
+    local, non-affine deshift) interpolated by ``residual_mode``
+    ("idw" or "tps"). tgt_stack (B, H, W) -> (B, H, W)."""
     b, h, w = tgt_stack.shape
     rr, cc = np.meshgrid(np.arange(h, dtype=np.float32),
                          np.arange(w, dtype=np.float32), indexing="ij")
-    dy, dx = shift_field(result, (h, w), local_residuals=local_residuals)
+    dy, dx = shift_field(result, (h, w), local_residuals=local_residuals,
+                         mode=residual_mode)
     rows = rr + dy
     cols = cc + dx
     hwb = np.moveaxis(tgt_stack, 0, -1).astype(np.float32)

@@ -222,3 +222,45 @@ def test_ransac_filter_noop_small_n(rng):
            for i in range(5)]
     ransac_affine_filter(tps)
     assert all(t.used for t in tps)
+
+
+def test_tps_shift_field_recovers_nonaffine(rng):
+    """TPS residual mode: a smooth non-affine displacement sampled at tie
+    points is reconstructed far better than the affine model alone, and
+    interpolates the tie points exactly (no smoothing)."""
+    from hyperres.coreg.local import CoregResult, TiePoint, shift_field
+
+    h, w = 120, 140
+
+    def truth(r, c):
+        dy = 2.0 + 1.5 * np.sin(r / 35.0) * np.cos(c / 45.0)
+        dx = -3.0 + 1.2 * np.cos(r / 40.0)
+        return dy, dx
+
+    tps = []
+    for r in range(10, h, 25):
+        for c in range(10, w, 25):
+            dy, dx = truth(float(r), float(c))
+            tps.append(TiePoint(col=c, row=r, dy=float(dy), dx=float(dx),
+                                reliability=80.0))
+    G = np.stack([[t.row, t.col, 1.0] for t in tps])
+    D = np.stack([[t.dy, t.dx] for t in tps])
+    A, *_ = np.linalg.lstsq(G, D, rcond=None)
+    res = CoregResult(True, None, tie_points=tps, affine=A.T)
+
+    rr, cc = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    ty, tx = truth(rr, cc)
+
+    dy_a, dx_a = shift_field(res, (h, w), local_residuals=False)
+    dy_t, dx_t = shift_field(res, (h, w), local_residuals=True,
+                             mode="tps")
+    err_aff = np.hypot(dy_a - ty, dx_a - tx)
+    err_tps = np.hypot(dy_t - ty, dx_t - tx)
+    # interior only (TPS extrapolates at borders)
+    sl = (slice(10, h - 10), slice(10, w - 10))
+    assert err_tps[sl].mean() < 0.25 * err_aff[sl].mean()
+    # exact interpolation at the tie points
+    for t in tps[:8]:
+        assert abs(dy_t[t.row, t.col] - t.dy) < 1e-3
+        assert abs(dx_t[t.row, t.col] - t.dx) < 1e-3
