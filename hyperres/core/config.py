@@ -112,9 +112,11 @@ class CoregConfig:
     resamp_calc: str = "cubic"
     resamp_deshift: str = "cubic"
     cliptoextent: bool = True
-    # non-affine deshift: add IDW interpolation of tie-point residuals
-    # on top of the affine shift model (AROSICS' local shift field)
+    # non-affine deshift: add interpolation of tie-point residuals on
+    # top of the affine shift model (AROSICS' local shift field);
+    # residual_mode "idw" or "tps" (thin-plate spline, smooth)
     local_residuals: bool = False
+    residual_mode: str = "idw"
 
 
 @dataclass(frozen=True)

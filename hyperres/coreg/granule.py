@@ -109,7 +109,8 @@ def coregister_s2_to_emit(
 
             shifted = deshift(s2_stack, res, nodata=nodata_s2,
                               method=cfg.resamp_deshift,
-                              local_residuals=cfg.local_residuals)
+                              local_residuals=cfg.local_residuals,
+                              residual_mode=cfg.residual_mode)
             out_dtype = np.uint16 if np.issubdtype(
                 np.asarray(s2_stack).dtype, np.integer) else np.float32
             write_geotiff(
