@@ -246,7 +246,7 @@ def tps_fit_residuals(points_rc: np.ndarray, residuals: np.ndarray,
 
 def tps_evaluate(points_rc: np.ndarray, weights: np.ndarray,
                  affine_part: np.ndarray, rr: np.ndarray,
-                 cc: np.ndarray, chunk: int = 262144) -> np.ndarray:
+                 cc: np.ndarray, chunk: int = 65536) -> np.ndarray:
     """Evaluate the fitted TPS at grid points; returns (..., 2)."""
     pts = np.asarray(points_rc, dtype=np.float64)
     q = np.stack([rr.ravel(), cc.ravel()], axis=1).astype(np.float64)
