@@ -48,6 +48,9 @@ def sample_valid_pixels_device(
     replacement among valid pixels."""
     c = img.shape[-1]
     flat = img.reshape(-1, c)
+    # images smaller than the sample budget: take every pixel (the
+    # reference's min(n, available) contract, color.py:91-95)
+    n_samples = min(int(n_samples), flat.shape[0])
     valid = (mask.reshape(-1) & jnp.isfinite(flat).all(axis=-1))
     g = jax.random.gumbel(key, (flat.shape[0],))
     score = jnp.where(valid, g, -jnp.inf)

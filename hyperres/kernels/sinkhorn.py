@@ -90,13 +90,29 @@ def barycentric_map(P: jax.Array, Y: jax.Array) -> jax.Array:
 @partial(jax.jit, static_argnames=("num_itermax",))
 def ot_barycentric_targets(X: jax.Array, Y: jax.Array, reg: float = 0.05,
                            num_itermax: int = 300,
-                           stop_thr: float = 1e-6) -> jax.Array:
-    """End-to-end: uniform-weight Sinkhorn between samples X (n, d) and
-    Y (m, d), then barycentric targets for each X row (the shared core of
-    ot_match_rgb / fit_ot_poly / fit_ot_affine)."""
+                           stop_thr: float = 1e-6,
+                           wx: jax.Array | None = None,
+                           wy: jax.Array | None = None) -> jax.Array:
+    """End-to-end: Sinkhorn between samples X (n, d) and Y (m, d), then
+    barycentric targets for each X row (the shared core of ot_match_rgb /
+    fit_ot_poly / fit_ot_affine). ``wx`` / ``wy`` are optional 0/1 slot
+    weights from fixed-shape device sampling: zero-weight (padding) rows
+    get a vanishing mass (and their values are zeroed so non-finite
+    padding cannot poison the cost matrix), keeping the plan equal to the
+    uniform plan over the real samples to f32 accuracy."""
     n, m = X.shape[0], Y.shape[0]
-    a = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
-    b = jnp.full((m,), 1.0 / m, dtype=jnp.float32)
+    if wx is None:
+        a = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
+    else:
+        X = jnp.where(wx[:, None] > 0, X, 0.0)
+        aw = jnp.maximum(wx.astype(jnp.float32), 1e-12)
+        a = aw / jnp.sum(aw)
+    if wy is None:
+        b = jnp.full((m,), 1.0 / m, dtype=jnp.float32)
+    else:
+        Y = jnp.where(wy[:, None] > 0, Y, 0.0)
+        bw = jnp.maximum(wy.astype(jnp.float32), 1e-12)
+        b = bw / jnp.sum(bw)
     M = sqeuclidean_cdist(X, Y)
     P, _ = sinkhorn_log(a, b, M, reg, num_itermax=num_itermax,
                         stop_thr=stop_thr)

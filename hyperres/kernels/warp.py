@@ -219,19 +219,43 @@ def block_average(img: jax.Array, factor: int,
 # ---------------------------------------------------------------------------
 
 def separable_weight_matrix(idx_1d: np.ndarray, src_size: int,
-                            method: str = "bilinear") -> np.ndarray:
+                            method: str = "bilinear",
+                            scale: Optional[float] = None) -> np.ndarray:
     """(Dst, Src) float32 interpolation-weight matrix for one axis:
     row d holds the filter taps of fractional source index idx_1d[d]
-    (2 taps bilinear, 4 taps cubic a=-0.5). Out-of-range taps are
-    dropped, so fully-outside rows are all-zero (detected downstream via
-    the weight-sum channel). Turning interpolation into a dense matmul
-    puts separable resampling on the MXU instead of the (slow on TPU)
+    (2 taps bilinear, 4 taps cubic a=-0.5; 'average' holds box-overlap
+    weights over ``scale`` source pixels — GDAL-average semantics for a
+    downsample, demo cell 73). Out-of-range taps are dropped, so
+    fully-outside rows are all-zero (detected downstream via the
+    weight-sum channel). Turning interpolation into a dense matmul puts
+    separable resampling on the MXU instead of the (slow on TPU)
     row-gather path."""
     idx = np.asarray(idx_1d, dtype=np.float64)
     dst = idx.shape[0]
     W = np.zeros((dst, src_size), dtype=np.float32)
     i0 = np.floor(idx).astype(np.int64)
     t = idx - i0
+    if method == "average":
+        # dst pixel d spans [idx[d]-s/2, idx[d]+s/2) in source index
+        # coords; weight of src pixel j (spanning [j-0.5, j+0.5)) is the
+        # overlap length, normalised by the covered mass downstream.
+        if scale is None:
+            if dst < 2:
+                raise ValueError("average needs scale for a 1-row axis")
+            scale = float(np.median(np.diff(idx)))
+        s = abs(float(scale))
+        lo = idx - s / 2.0
+        hi = idx + s / 2.0
+        j0 = np.floor(lo + 0.5).astype(np.int64)
+        rows_d = np.arange(dst)
+        centre_in = (idx >= -0.5) & (idx <= src_size - 0.5)
+        for k in range(int(np.ceil(s)) + 1):
+            j = j0 + k
+            w = np.clip(np.minimum(hi, j + 0.5) - np.maximum(lo, j - 0.5),
+                        0.0, 1.0) / s
+            ok = (j >= 0) & (j < src_size) & centre_in & (w > 0)
+            W[rows_d[ok], j[ok]] = w[ok].astype(np.float32)
+        return W
     if method == "bilinear":
         taps = [(0, 1.0 - t), (1, t)]
     elif method == "cubic":

@@ -76,6 +76,12 @@ class OrthoResult:
     data_envi_bin: Path
     utm_grid: Grid
     info: Dict = field(default_factory=dict)
+    # device-resident UTM DATA cube (populated when keep_device_cube is
+    # requested and the DATA product was computed this run) — lets the
+    # fusion stage run without a disk/host round-trip
+    device_cube: object = None
+    wavelengths: Optional[np.ndarray] = None
+    good_mask: Optional[np.ndarray] = None
 
 
 def _grid_from_s2_tif(s2_tif_path: Union[str, Path]) -> Grid:
@@ -105,6 +111,7 @@ def orthorectify_granule(
     config: OrthoConfig = OrthoConfig(),
     tag: Optional[str] = None,
     save_info_path: Union[str, Path, None] = None,
+    keep_device_cube: bool = False,
 ) -> OrthoResult:
     """Full DATA (+ optional LOC / OBS) ortho export onto the S2-anchored
     UTM 60 m grid. Returns the main projected ENVI path + info ledger."""
@@ -165,14 +172,31 @@ def orthorectify_granule(
     if not (need_data or need_loc or need_obs):
         info["outputs"]["data_envi_bin"] = str(data_utm)
         info["outputs"]["data_envi_hdr"] = str(data_hdr)
+        # register every product that already exists so resumed runs see
+        # the same outputs record as the run that produced them
+        # (the reference's skip path, emit_proj.py:816-872)
+        geotiff_dir = out_dir / "geotiff"
+        for key, path in {
+            "data_utm_tif": geotiff_dir / f"{tag}_DATA_warp_utm.tif",
+            "loc_utm_tif": geotiff_dir / f"{tag}_LOC_warp_utm.tif",
+            "obs_utm_tif": geotiff_dir / f"{tag}_OBS_warp_utm.tif",
+            "data_xml": data_utm.with_suffix(".xml"),
+        }.items():
+            if path.exists():
+                info["outputs"][key] = str(path)
         if export_loc:
             info["outputs"]["loc_envi_bin"] = str(loc_utm)
         if obs_file is not None:
             info["outputs"]["obs_envi_bin"] = str(obs_utm)
         info["skipped"] = True
         _save_info(info, save_info_path)
-        return OrthoResult(data_utm, s2_anchored_target_grid(
-            g.ortho_grid, s2_grid, cfg.target_res_m, cfg.target_res_m), info)
+        wavelengths = np.asarray(g.wavelengths)
+        good_mask = g.good_wavelengths
+        grid = s2_anchored_target_grid(g.ortho_grid, s2_grid,
+                                       cfg.target_res_m, cfg.target_res_m)
+        g.close()
+        return OrthoResult(data_utm, grid, info,
+                           wavelengths=wavelengths, good_mask=good_mask)
 
     # --- GLT preparation (host) ---
     t0 = time.perf_counter()
@@ -208,23 +232,31 @@ def orthorectify_granule(
                                           g.ortho_grid.height))
                if use_two_pass else None)
 
+    device_holder: Dict = {}
+
     def _export_product(cube_raw: np.ndarray, kind: str,
                         envi_path: Path, hdr_extra: Dict) -> Tuple[np.ndarray, Grid]:
         """gather -> warp -> ENVI write; returns the UTM cube."""
         if use_two_pass:
             t = time.perf_counter()
-            utm = np.asarray(orthowarp_two_pass(
+            utm_dev = orthowarp_two_pass(
                 jnp.asarray(cube_raw, jnp.float32), flat_j, valid_j,
                 wr_j, wc_j, cstar_j, method=cfg.resampling,
-                fill=NO_DATA_VALUE))
+                fill=NO_DATA_VALUE)
+            if keep_device_cube and kind == "data":
+                device_holder["data"] = utm_dev
+            utm = np.asarray(utm_dev)
             timer.record(f"{kind}_two_pass_orthowarp", t,
                          shape=list(utm.shape), resampling=cfg.resampling)
         elif cfg.fused_orthowarp and cfg.resampling in ("cubic", "bilinear"):
             t = time.perf_counter()
-            utm = np.asarray(orthowarp_taploop(
+            utm_dev = orthowarp_taploop(
                 jnp.asarray(cube_raw, jnp.float32), flat_j, valid_j,
                 wr_j, wc_j, method=cfg.resampling, fill=NO_DATA_VALUE,
-                row_chunks=cfg.orthowarp_row_chunks))
+                row_chunks=cfg.orthowarp_row_chunks)
+            if keep_device_cube and kind == "data":
+                device_holder["data"] = utm_dev
+            utm = np.asarray(utm_dev)
             timer.record(f"{kind}_fused_orthowarp", t,
                          shape=list(utm.shape), resampling=cfg.resampling)
         else:
@@ -362,9 +394,13 @@ def orthorectify_granule(
         except Exception as e:  # record-and-continue (emit_proj.py:1196-1201)
             info["obs_error"] = str(e)
 
+    wavelengths = np.asarray(g.wavelengths)
+    good_mask = g.good_wavelengths
     g.close()
     _save_info(info, save_info_path)
-    return OrthoResult(data_utm, result_grid, info)
+    return OrthoResult(data_utm, result_grid, info,
+                       device_cube=device_holder.get("data"),
+                       wavelengths=wavelengths, good_mask=good_mask)
 
 
 def _save_info(info: Dict, save_info_path) -> None:

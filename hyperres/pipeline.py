@@ -87,6 +87,76 @@ class FusionResult:
     info: Dict = field(default_factory=dict)
 
 
+def _fuse_pair_fused(
+    emit_cube_hwb,
+    emit_wavelengths,
+    emit_grid: Grid,
+    s2_stack_bhw,
+    s2_grid: Grid,
+    *,
+    good_mask,
+    s2_rgb_band_idx,
+    s2_scale,
+    s2_nodata,
+    config: PolyFusionConfig,
+    platform: str,
+    synth_method: str,
+    fusion_method: str,
+    plan=None,
+    warm_run: bool = False,
+) -> FusionResult:
+    """Fused-engine fuse_pair: all four phases as one device program.
+    ``plan`` lets callers reuse a prebuilt :class:`FusedFusionPlan` (and
+    a device-resident emit cube); ``warm_run`` launches twice and reports
+    the steady-state program time separately from compile."""
+    import jax
+    from .fusion.fused import FusedFusionPlan
+
+    t0 = time.perf_counter()
+    if plan is None:
+        plan = FusedFusionPlan(
+            emit_grid, s2_grid, np.asarray(emit_wavelengths), good_mask,
+            platform=platform, synth_method=synth_method,
+            fusion_method=fusion_method, config=config,
+            s2_nodata=s2_nodata, s2_scale=s2_scale)
+    s2rgb = plan.prepare_s2(s2_stack_bhw, s2_rgb_band_idx)
+    cube = jnp.asarray(emit_cube_hwb, jnp.float32)
+    t1 = time.perf_counter()
+    out = plan(cube, s2rgb)
+    jax.block_until_ready(out["fused_10m"])
+    t2 = time.perf_counter()
+    stages = {
+        "plan_build_s": round(t1 - t0, 4),
+        "fused_program_s": round(t2 - t1, 4),
+        "fused_program_includes_compile": True,
+    }
+    if warm_run:
+        t3 = time.perf_counter()
+        out = plan(cube, s2rgb)
+        jax.block_until_ready(out["fused_10m"])
+        stages["fused_program_steady_s"] = round(time.perf_counter() - t3,
+                                                 4)
+    fused = np.asarray(out["fused_10m"])
+    matched = np.asarray(out["matched_60m"])
+    coeffs = np.asarray(out["coeffs"], dtype=np.float64)
+    n_valid = int(out["n_valid_60m"])
+    stages["fetch_s"] = round(time.perf_counter() - t2, 4)
+    return FusionResult(
+        fused_10m=fused,
+        matched_60m=matched,
+        coeffs=coeffs,
+        emit_grid_60m=emit_grid,
+        s2_grid_10m=s2_grid,
+        info={
+            "stages": stages,
+            "n_valid_60m": n_valid,
+            "degree": config.degree,
+            "fusion_method": fusion_method,
+            "engine": "fused",
+        },
+    )
+
+
 def fuse_pair(
     emit_cube_hwb: np.ndarray,
     emit_wavelengths: np.ndarray,
@@ -102,6 +172,8 @@ def fuse_pair(
     platform: str = "S2A",
     synth_method: str = "srf",
     fusion_method: str = "ot_poly",
+    engine: str = "auto",
+    fused_warm_run: bool = False,
 ) -> FusionResult:
     """The 4-phase fusion: returns the matched simulated S2 RGB at 10 m
     plus the 60 m view and the fitted mapping.
@@ -112,8 +184,32 @@ def fuse_pair(
                     (demo cell 81 / poly_regression.py, the default),
     - 'ot_affine' — OT targets + affine map (demo cell 74 / color.py),
     - 'linear'    — per-channel linear calibration (demo cells 65/72),
-    - 'histogram' — per-channel CDF matching (color.py:36-63)."""
+    - 'histogram' — per-channel CDF matching (color.py:36-63).
+    ``engine``: 'fused' runs all four phases as ONE jitted device
+    program (the benchmarked fast path; same-CRS grids, ot_poly /
+    ot_affine / linear only); 'phases' is the stage-wise reference-shaped
+    path (host round-trips between phases, exact host-RNG OT sampling);
+    'auto' picks 'fused' when supported."""
     cfg = config
+    if engine not in ("auto", "fused", "phases"):
+        raise ValueError(f"Unknown engine {engine!r}")
+    if engine in ("auto", "fused"):
+        from .fusion.fused import FUSED_METHODS, FusedUnsupported
+        try:
+            if fusion_method not in FUSED_METHODS:
+                raise FusedUnsupported(fusion_method)
+            return _fuse_pair_fused(
+                emit_cube_hwb, emit_wavelengths, emit_grid, s2_stack_bhw,
+                s2_grid, good_mask=good_mask,
+                s2_rgb_band_idx=s2_rgb_band_idx, s2_scale=s2_scale,
+                s2_nodata=s2_nodata, config=cfg, platform=platform,
+                synth_method=synth_method, fusion_method=fusion_method,
+                warm_run=fused_warm_run)
+        except FusedUnsupported as e:
+            if engine == "fused":
+                raise
+            # auto: fall through to the phase-wise path
+            _ = e
     t0 = time.perf_counter()
 
     # Phase 1: band synthesis of B2, B3, B4 at 60 m
@@ -220,6 +316,7 @@ def fuse_pair(
             "n_valid_60m": int(valid60.sum()),
             "degree": cfg.degree,
             "fusion_method": fusion_method,
+            "engine": "phases",
         },
     )
 
@@ -256,21 +353,30 @@ def run_pair_pipeline(
     max_tiles: Optional[int] = None,
     train_sr: bool = True,
     predict_sr_cube: bool = False,
+    engine: str = "auto",
+    fused_warm_run: bool = False,
 ) -> PairRunResult:
     """Full pairs pipeline on local inputs: ortho -> [coreg] -> overlap
     crop -> OT+poly fusion -> paired tiling -> spectral-SR train/eval.
     Coregistration (config #5's coreg step) runs when ``coregister`` is
     set; failures are recorded and the pipeline continues with the
-    un-coregistered stack (the reference's attempts-ledger idiom)."""
+    un-coregistered stack (the reference's attempts-ledger idiom).
+
+    ``engine``: 'fused' (or 'auto' where supported) runs the fusion
+    phases as ONE jitted device program consuming the ortho stage's
+    device-resident UTM cube — no host round-trip between ortho and
+    fusion; 'phases' is the stage-wise path."""
     t_start = time.perf_counter()
     run = RunPaths.build(emit_nc=emit_nc_path, local_root=out_root)
     report = ReportWriter(run.local_report_md).start()
 
-    # 1. orthorectify onto the S2-anchored 60 m grid
+    # 1. orthorectify onto the S2-anchored 60 m grid (the device cube is
+    # kept on-device for the fused fusion program)
     ortho_res = orthorectify_granule(
         emit_nc_path, run.local_emit_utm, s2_stack_tif,
         config=ortho_config,
-        save_info_path=run.local_meta / "ortho_info.json")
+        save_info_path=run.local_meta / "ortho_info.json",
+        keep_device_cube=(engine in ("auto", "fused")))
     report.section("Orthorectification", [
         f"product: {ortho_res.info.get('product')}",
         f"UTM grid: {ortho_res.utm_grid.width}x{ortho_res.utm_grid.height}"
@@ -309,11 +415,18 @@ def run_pair_pipeline(
     emit_overlap = run.local_emit / "emit_overlap.tif"
     crop_to_overlap(s2_input, emit_utm_tif, s2_overlap, emit_overlap)
 
-    # 3. fusion on the overlap
+    # 3. fusion on the overlap. The emit side stays on device when the
+    # ortho stage kept its cube (fused engine); the ENVI product is only
+    # re-read from disk on the phase-wise / idempotent-skip paths.
     r = envi.EnviReader(ortho_res.data_envi_bin.with_suffix(".hdr"))
-    emit_cube = r.read().astype(np.float32)
     emit_grid = r.grid
-    wl = r.wavelengths
+    wl = (ortho_res.wavelengths if ortho_res.wavelengths is not None
+          else r.wavelengths)
+    emit_cube = ortho_res.device_cube
+    emit_cube_np: Optional[np.ndarray] = None
+    if emit_cube is None:
+        emit_cube_np = r.read().astype(np.float32)
+        emit_cube = emit_cube_np
     with TiffReader(s2_overlap) as t:
         s2_stack = t.read().astype(np.float32)
         s2_grid_c = t.grid
@@ -325,7 +438,8 @@ def run_pair_pipeline(
     fusion = fuse_pair(
         emit_cube, wl, emit_grid, s2_stack, s2_grid_c,
         s2_rgb_band_idx=rgb_idx, s2_scale=s2_scale, s2_nodata=s2_nodata,
-        config=fusion_config)
+        config=fusion_config, engine=engine,
+        fused_warm_run=fused_warm_run)
     fused_tif = run.local_root / "fused_rgb_10m.tif"
     write_geotiff(fused_tif,
                   np.moveaxis(np.nan_to_num(fusion.fused_10m,
@@ -381,9 +495,11 @@ def run_pair_pipeline(
     sr_metrics = None
     if train_sr and sr_config is not None:
         from .core.cube import subsample_bands_evenly
-        n_keep = min(sr_config.n_emit_bands, emit_cube.shape[-1])
-        band_idx = subsample_bands_evenly(emit_cube.shape[-1], n_keep)
-        emit32 = np.moveaxis(emit_cube[..., band_idx], -1, 0)
+        if emit_cube_np is None:
+            emit_cube_np = np.asarray(emit_cube, dtype=np.float32)
+        n_keep = min(sr_config.n_emit_bands, emit_cube_np.shape[-1])
+        band_idx = subsample_bands_evenly(emit_cube_np.shape[-1], n_keep)
+        emit32 = np.moveaxis(emit_cube_np[..., band_idx], -1, 0)
         s2_on_60 = resample_to_grid(
             np.moveaxis(s2_stack, 0, -1) * s2_scale, s2_grid_c, emit_grid,
             method="bilinear", nodata=(s2_nodata * s2_scale

@@ -1,0 +1,195 @@
+"""Fused single-program pipeline (fusion.fused) vs the phase-wise path.
+
+The fused engine must reproduce the reference-shaped phase-wise fusion
+(demo cell 81 semantics) to float32 accuracy: identical valid masks and
+near-identical pixels/coefficients (both paths subsample the same OT
+problem; on scenes smaller than the sample budget the sample sets
+coincide exactly).
+"""
+
+import numpy as np
+import pytest
+
+from hyperres.core.config import OrthoConfig, OTConfig, PolyFusionConfig
+from hyperres.pipeline import fuse_pair, psnr, run_pair_pipeline
+from hyperres.testing.scenes import make_scene
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    return make_scene(tmp_path_factory.mktemp("fused"),
+                      raw_shape=(80, 90), n_bands=48, s2_size=420)
+
+
+@pytest.fixture(scope="module")
+def ortho(scene, tmp_path_factory):
+    from hyperres.io import envi
+    from hyperres.io.tiff import TiffReader
+    from hyperres.ortho import orthorectify_granule
+
+    out = tmp_path_factory.mktemp("fused_ortho")
+    res = orthorectify_granule(
+        scene.emit_nc_path, out, scene.s2_tif_path,
+        config=OrthoConfig(save_geotiffs=False, write_xml=False),
+        keep_device_cube=True)
+    r = envi.EnviReader(res.data_envi_bin.with_suffix(".hdr"))
+    cube = r.read().astype(np.float32)
+    with TiffReader(scene.s2_tif_path) as t:
+        stack = t.read().astype(np.float32)
+        s2_grid = t.grid
+        nodata = t.nodata
+    return res, r, cube, stack, s2_grid, nodata
+
+
+@pytest.mark.parametrize("method", ["ot_poly", "ot_affine", "linear"])
+def test_engine_parity(ortho, method):
+    res, r, cube, stack, s2_grid, nodata = ortho
+    kw = dict(s2_scale=1e-4, s2_nodata=nodata, fusion_method=method)
+    a = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                  engine="phases", **kw)
+    b = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                  engine="fused", **kw)
+    assert a.info["engine"] == "phases"
+    assert b.info["engine"] == "fused"
+    va = np.isfinite(a.fused_10m).all(-1)
+    vb = np.isfinite(b.fused_10m).all(-1)
+    np.testing.assert_array_equal(va, vb)
+    assert a.info["n_valid_60m"] == b.info["n_valid_60m"]
+    assert psnr(a.fused_10m[va], b.fused_10m[vb]) > 60.0
+    assert psnr(a.matched_60m, b.matched_60m) > 60.0
+    np.testing.assert_allclose(a.coeffs, b.coeffs, rtol=1e-3, atol=1e-3)
+
+
+def test_fused_engine_consumes_device_cube(ortho):
+    """The ortho stage's device-resident cube feeds the fused program
+    without an ENVI round-trip and yields the same product."""
+    res, r, cube, stack, s2_grid, nodata = ortho
+    assert res.device_cube is not None
+    assert res.wavelengths is not None
+    a = fuse_pair(res.device_cube, res.wavelengths, res.utm_grid, stack,
+                  s2_grid, s2_scale=1e-4, s2_nodata=nodata,
+                  engine="fused")
+    b = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                  s2_scale=1e-4, s2_nodata=nodata, engine="fused")
+    np.testing.assert_array_equal(np.nan_to_num(a.fused_10m),
+                                  np.nan_to_num(b.fused_10m))
+
+
+def test_engine_fused_rejects_histogram(ortho):
+    from hyperres.fusion.fused import FusedUnsupported
+    res, r, cube, stack, s2_grid, nodata = ortho
+    with pytest.raises(FusedUnsupported):
+        fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                  s2_scale=1e-4, s2_nodata=nodata,
+                  fusion_method="histogram", engine="fused")
+    # auto falls back silently
+    out = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                    s2_scale=1e-4, s2_nodata=nodata,
+                    fusion_method="histogram", engine="auto")
+    assert out.info["engine"] == "phases"
+
+
+def test_average_weight_matrix_matches_block_average(rng):
+    """Separable 'average' matmul == exact integer block mean on aligned
+    grids (the GDAL-average fast path, demo cell 73)."""
+    import jax.numpy as jnp
+    from hyperres.kernels.warp import (
+        block_average, separable_resample_matmul, separable_weight_matrix,
+    )
+
+    f = 6
+    img = rng.random((60, 72, 3)).astype(np.float32)
+    ref = np.asarray(block_average(jnp.asarray(img), f))
+    idx_r = (np.arange(10) + 0.5) * f - 0.5
+    idx_c = (np.arange(12) + 0.5) * f - 0.5
+    Wr = separable_weight_matrix(idx_r, 60, "average", scale=f)
+    Wc = separable_weight_matrix(idx_c, 72, "average", scale=f)
+    # every tap weight is 1/f within the block
+    assert np.allclose(Wr.sum(axis=1), 1.0, atol=1e-6)
+    out = np.asarray(separable_resample_matmul(
+        jnp.asarray(img), jnp.asarray(Wr), jnp.asarray(Wc)))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_average_weight_matrix_fractional_overlap():
+    """Non-integer ratio: box weights are exact area overlaps."""
+    from hyperres.kernels.warp import separable_weight_matrix
+
+    # dst pixel of width 2.5 src px centred at src index 1.75:
+    # covers [0.5, 3.0) -> src px1 full (1.0), px2 full (1.0), px3 half
+    W = separable_weight_matrix(np.asarray([1.75]), 5, "average",
+                                scale=2.5)
+    np.testing.assert_allclose(W[0], [0.0, 0.4, 0.4, 0.2, 0.0],
+                               atol=1e-6)
+
+
+def test_fused_orthofusion_plan(scene, ortho):
+    """The single raw->fused program (bench.py's pipeline as library API)
+    matches ortho + fused fusion run separately."""
+    from hyperres.fusion.fused import FusedOrthoFusionPlan
+    from hyperres.io.granule import EmitGranule
+    from hyperres.core.grid import s2_anchored_target_grid
+
+    res, r, cube, stack, s2_grid, nodata = ortho
+    with EmitGranule(scene.emit_nc_path) as g:
+        raw = g.read_cube()
+        plan = FusedOrthoFusionPlan(
+            g.ortho_grid,
+            s2_anchored_target_grid(g.ortho_grid, s2_grid, 60.0, 60.0),
+            s2_grid, (g.raw_height, g.raw_width), g.glt, g.wavelengths,
+            g.good_wavelengths, s2_nodata=nodata, s2_scale=1e-4)
+    out = plan(raw, plan.prepare_s2(stack))
+    utm = np.asarray(out["utm_cube"])
+    # the program's ortho product == the ortho pipeline's ENVI product
+    np.testing.assert_allclose(utm, cube, rtol=1e-5, atol=1e-5)
+    ref = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                    s2_scale=1e-4, s2_nodata=nodata, engine="fused")
+    fused = np.asarray(out["fused_10m"])
+    v = np.isfinite(fused).all(-1)
+    np.testing.assert_array_equal(v, np.isfinite(ref.fused_10m).all(-1))
+    assert psnr(fused[v], ref.fused_10m[v]) > 60.0
+
+
+def test_run_pair_pipeline_fused_ledger(scene, tmp_path):
+    """run_pair_pipeline(engine='fused') reports the single-program
+    device ledger and carries the ortho cube on device."""
+    from hyperres.core.config import TilingConfig
+
+    res = run_pair_pipeline(
+        scene.emit_nc_path, scene.s2_tif_path, tmp_path / "fusedrun",
+        tiling_config=TilingConfig(emit_tile_size=16, max_black_frac=0.1),
+        max_tiles=1, train_sr=False, engine="fused", fused_warm_run=True)
+    st = res.fusion.info["stages"]
+    assert res.fusion.info["engine"] == "fused"
+    assert "fused_program_s" in st
+    assert "fused_program_steady_s" in st
+    assert st["fused_program_steady_s"] <= st["fused_program_s"]
+    assert res.fused_tif.exists()
+
+
+def test_fused_identity_fallback():
+    """Under min_pixels valid samples the fused ot_poly program falls
+    back to identity coefficients (poly_regression.py:38-41)."""
+    import jax.numpy as jnp
+    from hyperres.core.crs import CRS
+    from hyperres.core.grid import Grid
+    from hyperres.fusion.fused import FusedFusionPlan
+    from hyperres.testing.scenes import emit_wavelength_grid
+
+    n_bands = 32
+    wl, good = emit_wavelength_grid(n_bands)
+    utm = CRS.utm(33, True)
+    emit_grid = Grid(utm, 500000.0, 5000000.0, 60.0, 60.0, 12, 12)
+    s2_grid = Grid(utm, 500000.0, 5000000.0, 10.0, 10.0, 72, 72)
+    rng = np.random.default_rng(0)
+    cube = np.full((12, 12, n_bands), -9999.0, dtype=np.float32)
+    cube[:3, :3] = rng.random((3, 3, n_bands)).astype(np.float32) * 0.5
+    s2 = rng.random((3, 72, 72)).astype(np.float32)
+    plan = FusedFusionPlan(emit_grid, s2_grid, wl, good,
+                           config=PolyFusionConfig(
+                               degree=4, ot=OTConfig(n_samples=64)))
+    out = plan(jnp.asarray(cube), plan.prepare_s2(s2))
+    coeffs = np.asarray(out["coeffs"])
+    ident = np.zeros((3, 5))
+    ident[:, -2] = 1.0
+    np.testing.assert_allclose(coeffs, ident, atol=1e-6)
