@@ -99,23 +99,39 @@ def merge_emit(granules: Sequence[EmitGranule],
     height = int(np.ceil((top - bottom) / dy))
     out_grid = Grid(CRS.geographic(), left, top, dx, dy, width, height)
 
+    from dataclasses import replace
+
+    from ..kernels.warp import resample_to_grid
+
     out = np.full((height, width, b), NO_DATA_VALUE, dtype=np.float32)
     for g in granules:
-        ortho = np.asarray(orthorectify(g.read_cube(), g.glt))
-        # nearest placement of this granule's cells onto the mosaic grid
         gr = g.ortho_grid
-        rows = np.round((out_grid.y0 - (gr.y0 - (np.arange(gr.height) + 0.5)
-                                        * gr.dy)) / out_grid.dy - 0.5
-                        ).astype(int)
-        cols = np.round((((gr.x0 + (np.arange(gr.width) + 0.5) * gr.dx)
-                          - out_grid.x0) / out_grid.dx) - 0.5).astype(int)
-        rr = np.clip(rows, 0, height - 1)
-        cc = np.clip(cols, 0, width - 1)
-        block = out[np.ix_(rr, cc)]
-        valid_src = ortho[..., 0] != NO_DATA_VALUE
-        take = valid_src & (block[..., 0] == NO_DATA_VALUE)  # first wins
-        block[take] = ortho[take]
-        out[np.ix_(rr, cc)] = block
+        # mosaic-lattice-aligned window covering this granule's footprint
+        # (clipped to the mosaic; granule cells outside it are dropped,
+        # not smeared onto the edge)
+        gl, gb, grt, gt = gr.bounds
+        c0 = max(0, int(np.floor((gl - out_grid.x0) / dx)))
+        c1 = min(width, int(np.ceil((grt - out_grid.x0) / dx)))
+        r0 = max(0, int(np.floor((out_grid.y0 - gt) / dy)))
+        r1 = min(height, int(np.ceil((out_grid.y0 - gb) / dy)))
+        if c0 >= c1 or r0 >= r1:
+            continue
+        sub_grid = replace(out_grid,
+                           x0=out_grid.x0 + c0 * dx,
+                           y0=out_grid.y0 - r0 * dy,
+                           width=c1 - c0, height=r1 - r0)
+        ortho = np.asarray(orthorectify(g.read_cube(), g.glt))
+        # proper nearest resampling onto the mosaic lattice (the
+        # rioxarray.merge_arrays behaviour) — each destination cell samples
+        # its own nearest source cell, so off-lattice grids land within
+        # half a pixel and out-of-window cells become nodata
+        sub = np.asarray(resample_to_grid(
+            ortho, gr, sub_grid, method="nearest",
+            nodata=NO_DATA_VALUE, fill=NO_DATA_VALUE))
+        region = out[r0:r1, c0:c1]
+        take = ((sub[..., 0] != NO_DATA_VALUE)
+                & (region[..., 0] == NO_DATA_VALUE))  # first wins
+        region[take] = sub[take]
     return out, out_grid
 
 

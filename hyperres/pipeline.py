@@ -284,9 +284,9 @@ def fuse_pair(
         coeffs = np.zeros((3, 1))  # non-parametric
 
         def apply_10m(x, m):
-            return histogram_match_rgb(
-                x, np.clip(np.moveaxis(s2_rgb, 0, -1)[..., ::-1], 0, 1),
-                m)
+            # match against the SAME stretched 60 m reference the fit
+            # used — keeps 60 m and 10 m normalizations consistent
+            return histogram_match_rgb(x, s2_rgb_n, m, ref_mask=valid60)
     else:
         raise ValueError(f"Unknown fusion_method {fusion_method!r}")
     t3 = time.perf_counter()

@@ -65,6 +65,25 @@ def test_histogram_match_identity(rng):
     np.testing.assert_allclose(out[mask], src[mask], atol=5e-3)
 
 
+def test_histogram_match_cross_shape_reference(rng):
+    """The reference distribution may come from a different raster/mask
+    than the source (the 10 m apply matching against the 60 m stretched
+    reference)."""
+    src = rng.random((60, 62, 3)).astype(np.float32)
+    ref = np.clip(0.3 + 0.2 * rng.standard_normal((20, 21, 3)), 0, 1
+                  ).astype(np.float32)
+    src_mask = rng.random((60, 62)) > 0.2
+    ref_mask = rng.random((20, 21)) > 0.3
+    out = histogram_match_rgb(src, ref, src_mask, ref_mask=ref_mask)
+    assert out.shape == src.shape
+    for c in range(3):
+        got_q = np.percentile(out[..., c][src_mask], [25, 50, 75])
+        ref_q = np.percentile(ref[..., c][ref_mask], [25, 50, 75])
+        np.testing.assert_allclose(got_q, ref_q, atol=0.03)
+    np.testing.assert_allclose(out[~src_mask],
+                               np.clip(src[~src_mask], 0, 1), atol=1e-6)
+
+
 # ------------------------------------------------------------------ OT ----
 
 def test_ot_affine_recovers_affine_map(rng):

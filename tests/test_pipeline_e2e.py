@@ -246,3 +246,34 @@ def test_fuse_pair_model_families(scene, tmp_path, method):
     vals = out.fused_10m[valid]
     assert vals.min() >= 0.0 and vals.max() <= 1.0
     assert np.isfinite(out.matched_60m).all()
+
+
+def test_fuse_pair_histogram_60m_10m_consistent(scene, tmp_path):
+    """The histogram family must use the SAME stretched 60 m reference
+    distribution at both resolutions (round-1 weakness: the 10 m apply
+    re-matched against raw unstretched S2), so 60 m and 10 m outputs
+    agree on overlapping statistics."""
+    from hyperres.io import envi
+    from hyperres.io.tiff import TiffReader
+    from hyperres.ortho import orthorectify_granule
+    from hyperres.pipeline import fuse_pair
+    from hyperres.core.config import OrthoConfig
+
+    res = orthorectify_granule(
+        scene.emit_nc_path, tmp_path / "hc", scene.s2_tif_path,
+        config=OrthoConfig(save_geotiffs=False, write_xml=False))
+    r = envi.EnviReader(res.data_envi_bin.with_suffix(".hdr"))
+    cube = r.read()
+    with TiffReader(scene.s2_tif_path) as t:
+        stack = t.read().astype(np.float32)
+        s2_grid = t.grid
+        nodata = t.nodata
+    out = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                    s2_scale=1e-4, s2_nodata=nodata,
+                    fusion_method="histogram")
+    v60 = np.isfinite(out.matched_60m).all(axis=-1)
+    v10 = np.isfinite(out.fused_10m).all(axis=-1)
+    for c in range(3):
+        q60 = np.percentile(out.matched_60m[..., c][v60], [10, 50, 90])
+        q10 = np.percentile(out.fused_10m[..., c][v10], [10, 50, 90])
+        np.testing.assert_allclose(q10, q60, atol=0.06)

@@ -139,3 +139,83 @@ def test_ortho_browse(rng):
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out[4, 5], rgb[1, 2])
     assert np.all(out[0, 0] == 0)
+
+
+class _FakeGranule:
+    """Duck-typed granule for exact merge-placement tests."""
+
+    def __init__(self, cube, grid):
+        self._cube = cube
+        self.ortho_grid = grid
+        self.n_bands = cube.shape[-1]
+        h, w = cube.shape[:2]
+        glt = np.zeros((h, w, 2), dtype=np.int32)
+        glt[..., 0] = np.arange(w)[None, :] + 1   # identity GLT (1-based)
+        glt[..., 1] = np.arange(h)[:, None] + 1
+        self.glt = glt
+
+    def read_cube(self):
+        return self._cube
+
+
+def test_merge_emit_off_lattice_exact_nearest_placement():
+    """Off-lattice grids must land by per-destination nearest sampling
+    (no duplicated/smeared border rows from clipped index rounding)."""
+    geo = CRS.geographic()
+    h, w, b = 10, 10, 2
+    vals_a = (np.arange(h)[:, None] * 100.0
+              + np.arange(w)[None, :]).astype(np.float32)
+    cube_a = np.stack([vals_a, vals_a + 0.5], axis=-1)
+    cube_b = cube_a + 5000.0
+    # A on the unit lattice; B shifted right by 10.4 cells (off-lattice)
+    ga = Grid(geo, 0.0, 10.0, 1.0, 1.0, w, h)
+    gb = Grid(geo, 10.4, 10.0, 1.0, 1.0, w, h)
+    fa, fb = _FakeGranule(cube_a, ga), _FakeGranule(cube_b, gb)
+
+    mosaic, grid = merge_emit([fa, fb])
+
+    # oracle: per destination cell, nearest source cell of the first
+    # granule that covers it; outside every granule -> nodata
+    want = np.full(mosaic.shape, -9999.0, dtype=np.float32)
+    xs, ys = grid.pixel_center_coords()
+    for g, cube in ((fa, cube_a), (fb, cube_b)):
+        gr = g.ortho_grid
+        colf = (xs - gr.x0) / gr.dx - 0.5
+        rowf = (gr.y0 - ys) / gr.dy - 0.5
+        ci = np.round(colf).astype(int)
+        ri = np.round(rowf).astype(int)
+        for i, r in enumerate(ri):
+            if not (0 <= r < gr.height):
+                continue
+            for j, c in enumerate(ci):
+                if not (0 <= c < gr.width):
+                    continue
+                if want[i, j, 0] == -9999.0:
+                    want[i, j] = cube[r, c]
+    np.testing.assert_array_equal(mosaic, want)
+    # every source row appears at most once per column: no edge smear
+    col_b_edge = mosaic[:, -1, 0]
+    valid = col_b_edge != -9999.0
+    assert len(np.unique(col_b_edge[valid])) == valid.sum()
+
+
+def test_merge_emit_out_of_bounds_granule_clipped_not_smeared():
+    """A granule extending past an explicitly small mosaic (via a coarse
+    resolution_deg that snaps the union) must drop outside cells instead
+    of smearing them onto the mosaic edge."""
+    geo = CRS.geographic()
+    h = w = 8
+    cube = np.full((h, w, 1), 7.0, dtype=np.float32)
+    cube[0, :, 0] = 1.0     # top row distinct
+    cube[-1, :, 0] = 2.0    # bottom row distinct
+    ga = Grid(geo, 0.0, 8.0, 1.0, 1.0, w, h)
+    # second granule hangs 3.6 cells below the first
+    gb = Grid(geo, 0.0, 4.4, 1.0, 1.0, w, h)
+    cube_b = np.full((h, w, 1), 9.0, dtype=np.float32)
+    mosaic, grid = merge_emit([_FakeGranule(cube, ga),
+                               _FakeGranule(cube_b, gb)])
+    # the union grid covers both; no value appears duplicated along the
+    # bottom edge beyond what nearest sampling produces
+    assert grid.bounds[1] <= gb.bounds[1] + 1e-9
+    bottom = mosaic[-1, :, 0]
+    assert set(np.unique(bottom)).issubset({9.0, -9999.0})
