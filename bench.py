@@ -194,16 +194,21 @@ def main():
 
     log("uploading inputs ...")
     t_up0 = time.perf_counter()
-    u16_upload = bool(os.environ.get("HYPERRES_BENCH_U16_UPLOAD"))
-    if u16_upload:
-        # production streaming design: ship the cube quantized exactly
-        # like archived tiles (x10000 uint16, tiles_helpers convention)
-        # and dequantize on device — halves host->HBM transfer
-        raw_q = np.clip(np.rint(raw * 10000.0), 0, 65534).astype(np.uint16)
-        raw_j = jax.jit(lambda q: q.astype(jnp.float32) * 1e-4)(
-            jax.device_put(raw_q))
-    else:
-        raw_j = jax.device_put(raw)
+    # production transfer path: chunked per-band-affine u16 quantization
+    # overlapped with host->HBM transfer and device-side assembly
+    # (hyperres.io.ingest — the same path orthorectify_granule uses).
+    # HYPERRES_BENCH_TRANSFER=f32 ships the raw float cube instead.
+    transfer = os.environ.get("HYPERRES_BENCH_TRANSFER", "u16")
+    if os.environ.get("HYPERRES_BENCH_U16_UPLOAD") == "0":  # back-compat
+        transfer = "f32"
+    u16_upload = transfer == "u16"
+    from hyperres.io.ingest import stream_cube_to_device
+    raw_j = stream_cube_to_device(
+        lambda b0, b1: raw[..., b0:b1], raw.shape, transfer=transfer,
+        chunk_bands=32, depth=3)
+    raw_j.block_until_ready()
+    t_ingest = time.perf_counter() - t_up0
+    log(f"raw cube streamed in {t_ingest:.2f}s ({transfer})")
     flat_j = jax.device_put(flat_idx)
     valid_j = jax.device_put(valid)
     wr_j = jax.device_put(wr)
@@ -352,6 +357,12 @@ def main():
         "value": round(elapsed, 4),
         "unit": "seconds",
         "vs_baseline": round(north_star_s / elapsed, 3),
+        # honest steady-state numbers on this host/tunnel: the raw-cube
+        # host->HBM ingest (streamed, u16-quantized by default) and the
+        # ingest-inclusive wall clock for a fresh granule
+        "ingest_s": round(t_ingest, 3),
+        "ingest_inclusive_s": round(t_ingest + elapsed, 3),
+        "transfer": transfer,
     }))
 
 

@@ -17,6 +17,14 @@ class OrthoConfig:
 
     target_res_m: float = 60.0          # emit_proj.py:764
     band_chunk: int = 32                # emit_proj.py:969 (host IO chunking)
+    # streaming ingest of the DATA cube: chunked HDF5 reads overlapped
+    # with host->HBM transfer and device-side assembly (the production
+    # successor of the reference's 32-band chunk loop). "u16" ships each
+    # slab per-band-affine-quantized (half the transfer bytes, error
+    # <= band_range/65534/2 — below sensor noise); "f32" is bit-exact.
+    streaming_ingest: bool = True
+    ingest_transfer: str = "u16"
+    ingest_depth: int = 3
     # fused GLT+warp kernel (single device program, no ortho
     # intermediate); False falls back to the two-step gather+warp
     fused_orthowarp: bool = True

@@ -1,0 +1,133 @@
+"""Streaming granule ingest: chunked host reads -> (optional) u16
+quantization -> device, with read/quantize/transfer overlapped against
+device-side cube assembly.
+
+The TPU-shaped successor of the reference's 32-band HDF5 chunk loop
+(EMIT_data/emit_proj.py:969-987, which chunked for host RAM): here the
+chunking exists to hide host I/O and host->HBM transfer behind each
+other. Band slabs are read in a background thread (PrefetchToDevice),
+optionally quantized to per-band-affine uint16 (halves the transfer,
+error <= band_range/65534/2 — below sensor noise for reflectance), and
+assembled on device into the full (H, W, B) float32 cube via donated
+``dynamic_update_slice`` programs (no second HBM copy).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..core.constants import NO_DATA_VALUE
+from .pipeline import PrefetchToDevice
+
+U16_SENTINEL = 65535  # invalid-pixel marker (tiles_helpers convention)
+
+
+def quantize_slab_u16(slab: np.ndarray, nodata: float = NO_DATA_VALUE
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-band affine uint16 quantization of an (H, W, nb) float slab.
+
+    Invalid pixels (non-finite or == nodata) become the 65535 sentinel.
+    Returns (q uint16, scale (nb,) f32, offset (nb,) f32) with
+    ``x ~= q * scale + offset`` for valid pixels; bands with no valid
+    pixel get scale 1 / offset 0.
+    """
+    slab = np.asarray(slab)
+    valid = np.isfinite(slab) & (slab != nodata)
+    masked = np.where(valid, slab, np.nan)
+    with np.errstate(all="ignore"):
+        vmin = np.nanmin(masked, axis=(0, 1))
+        vmax = np.nanmax(masked, axis=(0, 1))
+    dead = ~np.isfinite(vmin)
+    vmin = np.where(dead, 0.0, vmin)
+    vmax = np.where(dead, 0.0, vmax)
+    scale = (vmax - vmin) / float(U16_SENTINEL - 1)
+    scale = np.where(scale <= 0.0, 1.0, scale)
+    q = np.rint((slab - vmin) / scale)
+    q = np.where(valid, np.clip(q, 0, U16_SENTINEL - 1), U16_SENTINEL)
+    return (q.astype(np.uint16), scale.astype(np.float32),
+            vmin.astype(np.float32))
+
+
+@lru_cache(maxsize=None)
+def _u16_updater(nodata: float):
+    @partial(jax.jit, donate_argnums=0)
+    def update(out, q, scale, offset, b0):
+        x = q.astype(jnp.float32) * scale + offset
+        x = jnp.where(q == jnp.uint16(U16_SENTINEL),
+                      jnp.float32(nodata), x)
+        return lax.dynamic_update_slice(
+            out, x, (jnp.int32(0), jnp.int32(0), b0))
+
+    return update
+
+
+@partial(jax.jit, donate_argnums=0)
+def _f32_updater(out, x, b0):
+    return lax.dynamic_update_slice(
+        out, x, (jnp.int32(0), jnp.int32(0), b0))
+
+
+def stream_cube_to_device(
+    read_bands: Callable[[int, int], np.ndarray],
+    shape_hwb: Tuple[int, int, int],
+    *,
+    transfer: str = "u16",
+    chunk_bands: int = 32,
+    depth: int = 3,
+    nodata: float = NO_DATA_VALUE,
+    device=None,
+) -> jax.Array:
+    """Assemble a device-resident (H, W, B) float32 cube from chunked
+    host band reads, overlapping read + quantize + transfer with the
+    device-side updates.
+
+    ``read_bands(b0, b1)`` returns the (H, W, b1-b0) float32 slab.
+    ``transfer``: 'u16' (per-band affine quantization, half the bytes on
+    the wire, error <= band_range/65534/2) or 'f32' (bit-exact).
+    """
+    if transfer not in ("u16", "f32"):
+        raise ValueError(f"transfer must be 'u16' or 'f32', got {transfer!r}")
+    h, w, n_bands = shape_hwb
+    chunk_bands = max(1, int(chunk_bands))
+
+    def source():
+        for b0 in range(0, n_bands, chunk_bands):
+            slab = np.asarray(read_bands(b0, min(b0 + chunk_bands, n_bands)),
+                              dtype=np.float32)
+            if transfer == "u16":
+                q, scale, offset = quantize_slab_u16(slab, nodata)
+                yield (q, scale, offset, np.int32(b0))
+            else:
+                yield (slab, np.int32(b0))
+
+    out = jax.device_put(
+        jnp.full((h, w, n_bands), jnp.float32(nodata)), device)
+    upd_u16 = _u16_updater(float(nodata))
+    for item in PrefetchToDevice(source(), depth=depth, device=device):
+        if transfer == "u16":
+            q, scale, offset, b0 = item
+            out = upd_u16(out, q, scale, offset, b0)
+        else:
+            x, b0 = item
+            out = _f32_updater(out, x, b0)
+    return out
+
+
+def stream_granule_cube(granule, *, transfer: str = "u16",
+                        chunk_bands: int = 32, depth: int = 3,
+                        nodata: float = NO_DATA_VALUE,
+                        device=None) -> jax.Array:
+    """Stream an EMIT granule's raw cube to the device (see
+    :func:`stream_cube_to_device`). Replaces ``granule.read_cube()`` +
+    one monolithic ``device_put`` on the ortho ingest path."""
+    return stream_cube_to_device(
+        granule.read_bands,
+        (granule.raw_height, granule.raw_width, granule.n_bands),
+        transfer=transfer, chunk_bands=chunk_bands, depth=depth,
+        nodata=nodata, device=device)

@@ -286,7 +286,22 @@ def orthorectify_granule(
 
     # ===== DATA =====
     if need_data:
-        raw = g.read_cube()
+        if cfg.streaming_ingest and g.n_bands > cfg.band_chunk:
+            # chunked HDF5 reads overlapped with quantize + host->HBM
+            # transfer and device-side assembly (replaces the
+            # reference's sequential 32-band loop, emit_proj.py:969-987)
+            from ..io.ingest import stream_granule_cube
+            t0 = time.perf_counter()
+            raw = stream_granule_cube(
+                g, transfer=cfg.ingest_transfer,
+                chunk_bands=cfg.band_chunk, depth=cfg.ingest_depth)
+            raw.block_until_ready()
+            timer.record("data_stream_ingest", t0,
+                         transfer=cfg.ingest_transfer,
+                         chunk_bands=cfg.band_chunk,
+                         depth=cfg.ingest_depth)
+        else:
+            raw = g.read_cube()
         hdr_extra = {
             "description": description,
             "wavelength": [float(x) for x in g.wavelengths],

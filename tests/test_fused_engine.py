@@ -30,7 +30,12 @@ def ortho(scene, tmp_path_factory):
     out = tmp_path_factory.mktemp("fused_ortho")
     res = orthorectify_granule(
         scene.emit_nc_path, out, scene.s2_tif_path,
-        config=OrthoConfig(save_geotiffs=False, write_xml=False),
+        # f32 transfer: these tests check ENGINE parity (fused vs
+        # phase-wise programs on identical inputs), so the ingest
+        # transport must be bit-exact (u16 quantization is covered by
+        # test_streaming_integration)
+        config=OrthoConfig(save_geotiffs=False, write_xml=False,
+                           ingest_transfer="f32"),
         keep_device_cube=True)
     r = envi.EnviReader(res.data_envi_bin.with_suffix(".hdr"))
     cube = r.read().astype(np.float32)
