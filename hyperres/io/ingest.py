@@ -14,6 +14,7 @@ assembled on device into the full (H, W, B) float32 cube via donated
 
 from __future__ import annotations
 
+import warnings
 from functools import lru_cache, partial
 from typing import Callable, Optional, Tuple
 
@@ -40,7 +41,9 @@ def quantize_slab_u16(slab: np.ndarray, nodata: float = NO_DATA_VALUE
     slab = np.asarray(slab)
     valid = np.isfinite(slab) & (slab != nodata)
     masked = np.where(valid, slab, np.nan)
-    with np.errstate(all="ignore"):
+    with np.errstate(all="ignore"), warnings.catch_warnings():
+        # all-nodata bands legitimately produce all-NaN slices
+        warnings.simplefilter("ignore", RuntimeWarning)
         vmin = np.nanmin(masked, axis=(0, 1))
         vmax = np.nanmax(masked, axis=(0, 1))
     dead = ~np.isfinite(vmin)
@@ -117,6 +120,71 @@ def stream_cube_to_device(
             x, b0 = item
             out = _f32_updater(out, x, b0)
     return out
+
+
+@lru_cache(maxsize=None)
+def _u16_dequant(nodata: float):
+    @jax.jit
+    def deq(q, scale, offset):
+        x = q.astype(jnp.float32) * scale + offset
+        return jnp.where(q == jnp.uint16(U16_SENTINEL),
+                         jnp.float32(nodata), x)
+
+    return deq
+
+
+def stream_cube_fold(
+    read_bands: Callable[[int, int], np.ndarray],
+    shape_hwb: Tuple[int, int, int],
+    fold: Callable,
+    carry,
+    *,
+    transfer: str = "u16",
+    chunk_bands: int = 32,
+    depth: int = 3,
+    nodata: float = NO_DATA_VALUE,
+    pad_to_chunk: bool = False,
+    device=None,
+):
+    """Fold device band chunks into a carry: per chunk,
+    ``carry = fold(carry, x, b0)`` with ``x`` the dequantized float32
+    (H, W, nb) device slab. This is the compute-overlapped ingest: while
+    the device folds chunk k (e.g. orthowarps its bands), the background
+    thread reads/quantizes/ships chunk k+1.
+
+    ``pad_to_chunk`` pads the tail slab with nodata bands so every fold
+    call sees one static shape (one XLA compilation); the caller is
+    responsible for slicing padded bands off the final carry.
+    """
+    if transfer not in ("u16", "f32"):
+        raise ValueError(f"transfer must be 'u16' or 'f32', got {transfer!r}")
+    h, w, n_bands = shape_hwb
+    chunk_bands = max(1, int(chunk_bands))
+
+    def source():
+        for b0 in range(0, n_bands, chunk_bands):
+            slab = np.asarray(read_bands(b0, min(b0 + chunk_bands, n_bands)),
+                              dtype=np.float32)
+            if pad_to_chunk and slab.shape[-1] < chunk_bands:
+                pad = chunk_bands - slab.shape[-1]
+                slab = np.concatenate(
+                    [slab, np.full((h, w, pad), nodata, np.float32)],
+                    axis=-1)
+            if transfer == "u16":
+                q, scale, offset = quantize_slab_u16(slab, nodata)
+                yield (q, scale, offset, np.int32(b0))
+            else:
+                yield (slab, np.int32(b0))
+
+    deq = _u16_dequant(float(nodata))
+    for item in PrefetchToDevice(source(), depth=depth, device=device):
+        if transfer == "u16":
+            q, scale, offset, b0 = item
+            x = deq(q, scale, offset)
+        else:
+            x, b0 = item
+        carry = fold(carry, x, b0)
+    return carry
 
 
 def stream_granule_cube(granule, *, transfer: str = "u16",

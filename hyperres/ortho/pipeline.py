@@ -20,11 +20,14 @@ from __future__ import annotations
 import json
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from pathlib import Path
 from typing import Dict, Optional, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..core.config import OrthoConfig
 from ..core.constants import NO_DATA_VALUE
@@ -89,6 +92,31 @@ def _grid_from_s2_tif(s2_tif_path: Union[str, Path]) -> Grid:
         if r.grid is None:
             raise ValueError(f"S2 template has no georeferencing: {s2_tif_path}")
         return r.grid
+
+
+@partial(jax.jit, donate_argnums=0,
+         static_argnames=("method", "kernel", "row_chunks"))
+def _warp_chunk_update(utm, chunk, b0, flat_idx, valid, wr, wc, cstar,
+                       method, kernel, row_chunks):
+    """Orthowarp one band chunk and write it into the UTM accumulator —
+    the fold step of the compute-overlapped ingest (each chunk's warp
+    runs while the next chunk is read/quantized/shipped; the full raw
+    cube never materializes in HBM)."""
+    if kernel == "two_pass":
+        w = orthowarp_two_pass(chunk, flat_idx, valid, wr, wc, cstar,
+                               method=method, fill=NO_DATA_VALUE)
+    else:
+        w = orthowarp_taploop(chunk, flat_idx, valid, wr, wc,
+                              method=method, fill=NO_DATA_VALUE,
+                              row_chunks=row_chunks)
+    return lax.dynamic_update_slice(
+        utm, w, (jnp.int32(0), jnp.int32(0), b0))
+
+
+@partial(jax.jit, static_argnames=("n_keep",))
+def _slice_bands(cube, n_keep):
+    # no donation: the smaller output cannot alias the padded input
+    return lax.slice_in_dim(cube, 0, n_keep, axis=-1)
 
 
 class _StageTimer:
@@ -234,10 +262,17 @@ def orthorectify_granule(
 
     device_holder: Dict = {}
 
-    def _export_product(cube_raw: np.ndarray, kind: str,
-                        envi_path: Path, hdr_extra: Dict) -> Tuple[np.ndarray, Grid]:
-        """gather -> warp -> ENVI write; returns the UTM cube."""
-        if use_two_pass:
+    def _export_product(cube_raw, kind: str, envi_path: Path,
+                        hdr_extra: Dict,
+                        utm_precomputed=None) -> Tuple[np.ndarray, Grid]:
+        """gather -> warp -> ENVI write; returns the UTM cube.
+        ``utm_precomputed`` skips straight to the write (the streamed
+        fold path already produced the device UTM cube)."""
+        if utm_precomputed is not None:
+            if keep_device_cube and kind == "data":
+                device_holder["data"] = utm_precomputed
+            utm = np.asarray(utm_precomputed)
+        elif use_two_pass:
             t = time.perf_counter()
             utm_dev = orthowarp_two_pass(
                 jnp.asarray(cube_raw, jnp.float32), flat_j, valid_j,
@@ -286,10 +321,50 @@ def orthorectify_granule(
 
     # ===== DATA =====
     if need_data:
-        if cfg.streaming_ingest and g.n_bands > cfg.band_chunk:
+        raw = None
+        utm_pre = None
+        streaming = cfg.streaming_ingest and g.n_bands > cfg.band_chunk
+        can_fold = (streaming and cfg.fused_orthowarp
+                    and cfg.resampling in ("cubic", "bilinear"))
+        if can_fold:
+            # compute-overlapped ingest: each chunk's orthowarp runs
+            # while the next chunk is read/quantized/shipped; the full
+            # raw cube never materializes in HBM (peak = UTM cube + one
+            # chunk). Replaces the reference's sequential 32-band loop
+            # (emit_proj.py:969-987).
+            from ..io.ingest import stream_cube_fold
+            t0 = time.perf_counter()
+            kernel = "two_pass" if use_two_pass else "taploop"
+            n_chunks = -(-g.n_bands // cfg.band_chunk)
+            b_pad = n_chunks * cfg.band_chunk
+            utm0 = jnp.full(
+                (utm_grid.height, utm_grid.width, b_pad),
+                jnp.float32(NO_DATA_VALUE))
+            cstar_arg = (cstar_j if cstar_j is not None
+                         else jnp.zeros((1, 1), jnp.float32))
+
+            def fold(utm, x, b0):
+                return _warp_chunk_update(
+                    utm, x, b0, flat_j, valid_j, wr_j, wc_j, cstar_arg,
+                    cfg.resampling, kernel, cfg.orthowarp_row_chunks)
+
+            utm_pre = stream_cube_fold(
+                g.read_bands, (g.raw_height, g.raw_width, g.n_bands),
+                fold, utm0, transfer=cfg.ingest_transfer,
+                chunk_bands=cfg.band_chunk, depth=cfg.ingest_depth,
+                pad_to_chunk=True)
+            if b_pad != g.n_bands:
+                utm_pre = _slice_bands(utm_pre, g.n_bands)
+            utm_pre.block_until_ready()
+            timer.record("data_streamed_orthowarp", t0,
+                         transfer=cfg.ingest_transfer,
+                         chunk_bands=cfg.band_chunk, kernel=kernel,
+                         resampling=cfg.resampling,
+                         shape=[utm_grid.height, utm_grid.width,
+                                g.n_bands])
+        elif streaming:
             # chunked HDF5 reads overlapped with quantize + host->HBM
-            # transfer and device-side assembly (replaces the
-            # reference's sequential 32-band loop, emit_proj.py:969-987)
+            # transfer and device-side assembly
             from ..io.ingest import stream_granule_cube
             t0 = time.perf_counter()
             raw = stream_granule_cube(
@@ -313,7 +388,8 @@ def orthorectify_granule(
         }
         if g.fwhm is not None:
             hdr_extra["fwhm"] = [float(x) for x in g.fwhm]
-        utm_cube, _ = _export_product(raw, "data", data_utm, hdr_extra)
+        utm_cube, _ = _export_product(raw, "data", data_utm, hdr_extra,
+                                      utm_precomputed=utm_pre)
         info["outputs"]["data_envi_bin"] = str(data_utm)
         info["outputs"]["data_envi_hdr"] = str(data_hdr)
         info["rasters"]["data_envi"] = raster_meta(

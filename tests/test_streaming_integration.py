@@ -112,8 +112,8 @@ def test_ortho_streaming_ingest_matches_monolithic(tmp_path):
         scene.emit_nc_path, tmp_path / "mono", scene.s2_tif_path,
         config=OrthoConfig(save_geotiffs=False, write_xml=False,
                            streaming_ingest=False))
-    assert "data_stream_ingest" in res_s.info["stages"]
-    assert "data_stream_ingest" not in res_m.info["stages"]
+    assert "data_streamed_orthowarp" in res_s.info["stages"]
+    assert "data_streamed_orthowarp" not in res_m.info["stages"]
     a = envi.EnviReader(res_s.data_envi_bin.with_suffix(".hdr")).read()
     b = envi.EnviReader(res_m.data_envi_bin.with_suffix(".hdr")).read()
     # nodata masks identical
@@ -144,6 +144,29 @@ def test_ortho_streaming_f32_bit_identical(tmp_path):
         scene.emit_nc_path, tmp_path / "m", scene.s2_tif_path,
         config=OrthoConfig(save_geotiffs=False, write_xml=False,
                            streaming_ingest=False))
+    a = envi.EnviReader(res_s.data_envi_bin.with_suffix(".hdr")).read()
+    b = envi.EnviReader(res_m.data_envi_bin.with_suffix(".hdr")).read()
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ortho_streaming_two_step_path(tmp_path):
+    """The assembled-cube streaming branch (no fused orthowarp) is also
+    bit-identical to monolithic under f32 transfer."""
+    from hyperres.core.config import OrthoConfig
+    from hyperres.io import envi
+    from hyperres.ortho import orthorectify_granule
+    from hyperres.testing.scenes import make_scene
+
+    scene = make_scene(tmp_path / "ts", raw_shape=(30, 34), n_bands=40,
+                       s2_size=200)
+    kw = dict(save_geotiffs=False, write_xml=False, fused_orthowarp=False)
+    res_s = orthorectify_granule(
+        scene.emit_nc_path, tmp_path / "s", scene.s2_tif_path,
+        config=OrthoConfig(ingest_transfer="f32", **kw))
+    res_m = orthorectify_granule(
+        scene.emit_nc_path, tmp_path / "m", scene.s2_tif_path,
+        config=OrthoConfig(streaming_ingest=False, **kw))
+    assert "data_stream_ingest" in res_s.info["stages"]
     a = envi.EnviReader(res_s.data_envi_bin.with_suffix(".hdr")).read()
     b = envi.EnviReader(res_m.data_envi_bin.with_suffix(".hdr")).read()
     np.testing.assert_array_equal(a, b)
