@@ -119,6 +119,31 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_srf(args) -> int:
+    """Import the measured Sentinel-2 SRF tables (workbook xlsx or a CSV
+    sheet export) into the cache load_srf consults; --fetch downloads
+    the official Copernicus workbook first (network required)."""
+    from .spectral.srf_cache import (
+        COPERNICUS_SRF_URL, fetch_srf_workbook, import_srf_tables,
+        user_cache_dir,
+    )
+
+    src = args.src
+    if args.fetch:
+        src = user_cache_dir() / "S2-SRF.xlsx"
+        print(f"fetching {COPERNICUS_SRF_URL} -> {src}")
+        fetch_srf_workbook(src)
+    if src is None:
+        print("error: provide a source file or --fetch")
+        return 2
+    out = {}
+    for platform in args.platforms:
+        path = import_srf_tables(src, platform=platform, dest=args.dest)
+        out[platform] = str(path)
+    print(json.dumps({"imported": out}, indent=2))
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="hyperres",
@@ -189,6 +214,17 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--retries", type=int, default=1)
     b.add_argument("--no-resume", action="store_true")
     b.set_defaults(fn=_cmd_batch)
+
+    r = sub.add_parser("srf", help="import measured Sentinel-2 SRF "
+                                   "tables for offline use")
+    r.add_argument("src", nargs="?", default=None,
+                   help="SRF workbook .xlsx or CSV sheet export")
+    r.add_argument("--fetch", action="store_true",
+                   help="download the official Copernicus workbook first")
+    r.add_argument("--platforms", nargs="+", default=["S2A", "S2B"])
+    r.add_argument("--dest", default="user",
+                   help="'user' cache, 'package' data dir, or a directory")
+    r.set_defaults(fn=_cmd_srf)
 
     i = sub.add_parser("info", help="raster geometry summaries")
     i.add_argument("rasters", nargs="+")

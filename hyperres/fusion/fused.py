@@ -221,13 +221,13 @@ def _fusion_matrices(
 ):
     """Host precompute shared by both plans: SRF weight matrix + the four
     separable resampling matrices between the 60 m and 10 m grids."""
-    from ..spectral import builtin_srf  # local import: avoids package cycle
+    from ..spectral import load_srf  # local import: avoids package cycle
 
     if synth_method == "box":
         Wsrf, names, _ = build_box_weight_matrix(
             wavelengths, bands=list(bands), good_mask=good_mask)
     elif synth_method == "srf":
-        srf = builtin_srf(platform, bands=list(bands))
+        srf = load_srf(platform, bands=list(bands))
         Wsrf, names, _ = build_srf_weight_matrix(wavelengths, srf,
                                                  good_mask)
     else:

@@ -14,7 +14,6 @@ assembled on device into the full (H, W, B) float32 cube via donated
 
 from __future__ import annotations
 
-import warnings
 from functools import lru_cache, partial
 from typing import Callable, Optional, Tuple
 
@@ -39,22 +38,30 @@ def quantize_slab_u16(slab: np.ndarray, nodata: float = NO_DATA_VALUE
     pixel get scale 1 / offset 0.
     """
     slab = np.asarray(slab)
-    valid = np.isfinite(slab) & (slab != nodata)
-    masked = np.where(valid, slab, np.nan)
-    with np.errstate(all="ignore"), warnings.catch_warnings():
-        # all-nodata bands legitimately produce all-NaN slices
-        warnings.simplefilter("ignore", RuntimeWarning)
-        vmin = np.nanmin(masked, axis=(0, 1))
-        vmax = np.nanmax(masked, axis=(0, 1))
+    shape = slab.shape
+    nb = shape[-1]
+    flat = slab.reshape(-1, nb)
+    valid = np.isfinite(flat)
+    valid &= flat != nodata
+    # where=-reductions: no NaN-masked copy, single C pass per reduce
+    vmin = np.min(flat, axis=0, where=valid, initial=np.inf)
+    vmax = np.max(flat, axis=0, where=valid, initial=-np.inf)
     dead = ~np.isfinite(vmin)
-    vmin = np.where(dead, 0.0, vmin)
-    vmax = np.where(dead, 0.0, vmax)
+    vmin[dead] = 0.0
+    vmax[dead] = 0.0
     scale = (vmax - vmin) / float(U16_SENTINEL - 1)
-    scale = np.where(scale <= 0.0, 1.0, scale)
-    q = np.rint((slab - vmin) / scale)
-    q = np.where(valid, np.clip(q, 0, U16_SENTINEL - 1), U16_SENTINEL)
-    return (q.astype(np.uint16), scale.astype(np.float32),
-            vmin.astype(np.float32))
+    scale[scale <= 0.0] = 1.0
+    # quantize against the SAME f32 scale/offset the device dequantizes
+    # with, keeping everything in f32 (one temp, in-place passes)
+    scale32 = scale.astype(np.float32)
+    offset32 = vmin.astype(np.float32)
+    tmp = flat - offset32
+    tmp *= np.float32(1.0) / scale32
+    np.rint(tmp, out=tmp)
+    np.clip(tmp, 0, U16_SENTINEL - 1, out=tmp)
+    q = tmp.astype(np.uint16)
+    q[~valid] = U16_SENTINEL
+    return q.reshape(shape), scale32, offset32
 
 
 @lru_cache(maxsize=None)

@@ -39,7 +39,7 @@ from .io.tiff import TiffReader, write_geotiff
 from .kernels.stats import shared_percentile_stretch
 from .kernels.warp import resample_to_grid
 from .ortho import orthorectify_granule
-from .spectral import builtin_srf, crop_to_overlap
+from .spectral import crop_to_overlap, load_srf
 from .kernels.srf import (
     build_box_weight_matrix, build_srf_weight_matrix, srf_synthesize,
 )
@@ -218,7 +218,7 @@ def fuse_pair(
             emit_wavelengths, bands=["B2", "B3", "B4"],
             good_mask=good_mask)
     else:
-        srf = builtin_srf(platform, bands=["B2", "B3", "B4"])
+        srf = load_srf(platform, bands=["B2", "B3", "B4"])
         W, names, _ = build_srf_weight_matrix(emit_wavelengths, srf,
                                               good_mask)
     synth = np.asarray(srf_synthesize(

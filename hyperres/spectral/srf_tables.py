@@ -154,8 +154,14 @@ def load_srf_from_xlsx(
 def load_srf(platform: str = "S2A",
              xlsx_path: Optional[Union[str, Path]] = None,
              bands: Optional[List[str]] = None) -> SRFDict:
-    """SRF dict from the official workbook when given, else the builtin
-    parametric model."""
+    """The canonical SRF resolver. Order: explicit workbook path ->
+    previously imported measured tables (package data / user cache, see
+    ``srf_cache.import_srf_tables``) -> builtin parametric model.
+    ``HYPERRES_SRF_SOURCE=parametric`` forces the last."""
     if xlsx_path is not None and Path(xlsx_path).exists():
         return load_srf_from_xlsx(xlsx_path, platform=platform, bands=bands)
+    from .srf_cache import measured_srf
+    cached = measured_srf(platform, bands=bands)
+    if cached is not None:
+        return cached
     return builtin_srf(platform=platform, bands=bands)
