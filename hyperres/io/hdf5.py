@@ -10,10 +10,14 @@ netCDF-4 files, i.e. HDF5 written by netcdf-c *without* the
 - groups via v1 symbol tables (B-tree v1 type 0 + SNOD + local heap),
 - datasets: contiguous and chunked layout (v3 message, chunk B-tree v1
   type 1), filters: deflate (1) and shuffle (2),
+- "latest"-format (layout v4) chunk indexes: single chunk, implicit,
+  fixed array, extensible array (1 unlimited dim, incl. super blocks
+  and paged data blocks) and v2 B-tree (>1 unlimited dim, any depth) —
+  the layouts netcdf-c emits for record/unlimited dimensions,
 - datatypes: fixed-point / IEEE float (little-endian), fixed strings,
 - attributes (message 0x000C, v1-v3), including scalar string attrs,
-- variable-length string attributes via the global heap (netcdf-c writes
-  NC_STRING attrs that way).
+- variable-length string attributes AND datasets via the global heap
+  (netcdf-c writes NC_STRING that way).
 
 A matching writer produces valid files of the same subset so synthetic
 granules used in tests round-trip through the real reader path
@@ -42,6 +46,7 @@ UNDEF = 0xFFFFFFFFFFFFFFFF
 @dataclass
 class _Dataspace:
     shape: Tuple[int, ...]
+    maxshape: Optional[Tuple[int, ...]] = None  # UNDEF entry = unlimited
 
 
 @dataclass
@@ -54,6 +59,11 @@ class _Datatype:
     is_vlen_string: bool = False
 
     def numpy_dtype(self) -> np.dtype:
+        if self.is_vlen_string:
+            # raw global-heap descriptors {len u32, heap addr u64, idx
+            # u32}; kept as opaque bytes (void) so trailing NULs survive
+            # until the reader resolves them against the global heap
+            return np.dtype(f"V{self.size}")
         if self.is_string:
             return np.dtype(f"S{self.size}")
         if self.cls == 0:  # fixed-point
@@ -79,8 +89,12 @@ class Dataset:
     attrs: Dict[str, Any] = field(default_factory=dict)
     compact_data: Optional[bytes] = None
     # v4-layout chunk index descriptor: ("single",addr,size,mask) |
-    # ("implicit",addr,nbytes) | ("fixed",fahd_addr); None => v1 B-tree
+    # ("implicit",addr,nbytes) | ("fixed",fahd_addr) |
+    # ("extensible",eahd_addr) | ("btree2",bthd_addr); None => v1 B-tree
     chunk_index: Optional[tuple] = None
+    # maxshape entry None = unlimited dimension (netcdf-c record dims)
+    maxshape: Optional[Tuple[Optional[int], ...]] = None
+    vlen_string: bool = False
     _file: Optional["HDF5File"] = None
 
     # ---- data access ----
@@ -121,9 +135,32 @@ class Dataset:
             csl = tuple(slice(0, s.stop - s.start) for s in sl)
             out[sl + (slice(s0 - b0, s1 - b0),)] = \
                 chunk[csl + (slice(s0 - c0, s1 - c0),)]
+        if self.vlen_string:
+            return self._resolve_vlen_strings(out)
         return out
 
+    def _resolve_vlen_strings(self, raw_arr: np.ndarray) -> np.ndarray:
+        """Raw 16-byte VL descriptors -> object array of decoded strings
+        (resolved through the file's global heap collections)."""
+        f = self._file
+        flat = raw_arr.reshape(-1)
+        out = np.empty(flat.shape[0], dtype=object)
+        for i in range(flat.shape[0]):
+            rec = bytes(flat[i])
+            length, gaddr, gidx = struct.unpack("<IQI", rec)
+            if length == 0 or gaddr in (0, UNDEF):
+                out[i] = ""
+                continue
+            out[i] = f._read_global_heap(gaddr, gidx)[:length].decode(
+                "utf-8", "replace")
+        return out.reshape(raw_arr.shape)
+
     def read(self) -> np.ndarray:
+        if self.vlen_string:
+            return self._resolve_vlen_strings(self._read_raw())
+        return self._read_raw()
+
+    def _read_raw(self) -> np.ndarray:
         f = self._file
         if self.layout == "compact":
             arr = np.frombuffer(self.compact_data, dtype=self.dtype)
@@ -349,6 +386,7 @@ class HDF5File:
     def _parse_dataspace(body: bytes) -> _Dataspace:
         version = body[0]
         rank = body[1]
+        flags = body[2]
         if version == 1:
             off = 8
         elif version == 2:
@@ -356,7 +394,12 @@ class HDF5File:
         else:
             raise ValueError(f"Dataspace version {version}")
         dims = struct.unpack(f"<{rank}Q", body[off:off + 8 * rank])
-        return _Dataspace(tuple(int(d) for d in dims))
+        maxdims = None
+        if flags & 0x01:
+            off += 8 * rank
+            maxdims = tuple(int(d) for d in struct.unpack(
+                f"<{rank}Q", body[off:off + 8 * rank]))
+        return _Dataspace(tuple(int(d) for d in dims), maxdims)
 
     @staticmethod
     def _parse_datatype(body: bytes) -> _Datatype:
@@ -558,9 +601,14 @@ class HDF5File:
         attrs: Dict[str, Any] = {}
         compact = None
         chunk_index = None
+        maxshape = None
         for mtype, body, _ in msgs:
             if mtype == 0x0001:
-                shape = self._parse_dataspace(body).shape
+                space = self._parse_dataspace(body)
+                shape = space.shape
+                if space.maxshape is not None:
+                    maxshape = tuple(None if d == UNDEF else d
+                                     for d in space.maxshape)
             elif mtype == 0x0003:
                 dtype = self._parse_datatype(body)
             elif mtype == 0x0005:
@@ -581,7 +629,9 @@ class HDF5File:
                      data_addr=data_addr, data_size=data_size,
                      chunk_shape=chunk_shape, btree_addr=btree_addr,
                      filters=filters, fillvalue=fill, attrs=attrs,
-                     compact_data=compact, chunk_index=chunk_index)
+                     compact_data=compact, chunk_index=chunk_index,
+                     maxshape=maxshape,
+                     vlen_string=bool(dtype and dtype.is_vlen_string))
         ds._file = self
         return ds
 
@@ -669,10 +719,16 @@ class HDF5File:
                     pos += 1  # page bits (re-read from the FAHD header)
                     addr = struct.unpack("<Q", body[pos:pos + 8])[0]
                     chunk_index = ("fixed", addr)
+                elif itype == 4:  # extensible array (1 unlimited dim)
+                    pos += 5  # creation params (re-read from EAHD header)
+                    addr = struct.unpack("<Q", body[pos:pos + 8])[0]
+                    chunk_index = ("extensible", addr)
+                elif itype == 5:  # v2 B-tree (>1 unlimited dim)
+                    pos += 6  # node size(4)+split(1)+merge(1) (in BTHD)
+                    addr = struct.unpack("<Q", body[pos:pos + 8])[0]
+                    chunk_index = ("btree2", addr)
                 else:
-                    raise ValueError(
-                        f"Unsupported v4 chunk index type {itype} "
-                        "(extensible array / v2 B-tree need unlimited dims)")
+                    raise ValueError(f"Unsupported v4 chunk index type {itype}")
                 return (layout, data_addr, data_size, chunk_shape,
                         btree_addr, compact, chunk_index)
             else:
@@ -743,6 +799,40 @@ class HDF5File:
                 yield (tuple(o * c for o, c in zip(coords[i],
                                                    ds.chunk_shape)),
                        addr, size, mask)
+        elif kind == "extensible":
+            # element order is row-major over the chunk grid with the
+            # (single) unlimited dimension swizzled to the front
+            _, eahd_addr = ds.chunk_index
+            if eahd_addr == UNDEF:
+                return
+            unlim = 0
+            if ds.maxshape is not None:
+                for d, m in enumerate(ds.maxshape):
+                    if m is None:
+                        unlim = d
+                        break
+            order = [unlim] + [d for d in range(rank) if d != unlim]
+            sw_grid = [grid[d] for d in order]
+            n_needed = int(np.prod(grid, dtype=np.int64))
+            for i, (addr, size, mask) in enumerate(
+                    self._read_extensible_array(eahd_addr, n_needed,
+                                                ds.chunk_shape, ds.dtype)):
+                if addr == UNDEF:
+                    continue
+                sw = np.unravel_index(i, sw_grid)
+                coord = [0] * rank
+                for d, v in zip(order, sw):
+                    coord[d] = int(v)
+                yield (tuple(o * c for o, c in zip(coord, ds.chunk_shape)),
+                       addr, size, mask)
+        elif kind == "btree2":
+            _, bthd_addr = ds.chunk_index
+            if bthd_addr == UNDEF:
+                return
+            for scaled, addr, size, mask in self._read_btree2_chunks(
+                    bthd_addr, rank, ds.chunk_shape, ds.dtype):
+                yield (tuple(o * c for o, c in zip(scaled, ds.chunk_shape)),
+                       addr, size, mask)
         else:
             raise ValueError(f"Unknown chunk index kind {kind}")
 
@@ -800,6 +890,228 @@ class HDF5File:
                 yield from parse(blob)
                 pos += n * entry_size + 4  # + page checksum
                 remaining -= n
+
+    def _read_extensible_array(self, eahd_addr: int, n_needed: int,
+                               chunk_shape, dtype):
+        """Decode an Extensible Array chunk index (EAHD header, EAIB
+        index block, EASB super blocks, EADB data blocks — optionally
+        paged). Yields (chunk_addr, stored_size, filter_mask) for element
+        indices 0..n_needed-1 (UNDEF address for unallocated). Structure
+        follows the HDF5 spec's doubling scheme: the index block holds
+        ``idx_blk_elmts`` inline elements plus direct pointers to the
+        data blocks of the first ``2*log2(sup_blk_min_data_ptrs)`` super
+        blocks; super block s has 2^(s//2) data blocks of
+        ``data_blk_min_elmts * 2^((s+1)//2)`` elements each."""
+        hdr = self._pread(eahd_addr, 72)
+        if hdr[:4] != b"EAHD":
+            raise ValueError("Bad extensible-array header")
+        client_id = hdr[5]
+        elem_size = hdr[6]
+        max_nelmts_bits = hdr[7]
+        idx_blk_elmts = hdr[8]
+        data_blk_min_elmts = hdr[9]
+        sup_blk_min_data_ptrs = hdr[10]
+        max_dblk_page_nelmts_bits = hdr[11]
+        iblk_addr = struct.unpack("<Q", hdr[12 + 6 * 8:12 + 6 * 8 + 8])[0]
+        if iblk_addr == UNDEF:
+            for _ in range(n_needed):
+                yield UNDEF, 0, 0
+            return
+        raw_chunk_bytes = int(np.prod(chunk_shape)) * dtype.itemsize
+        arr_off_size = (max_nelmts_bits + 7) // 8
+        page_nelmts = 1 << max_dblk_page_nelmts_bits
+
+        def parse_elems(blob: bytes, n: int):
+            out = []
+            for i in range(n):
+                rec = blob[i * elem_size:(i + 1) * elem_size]
+                addr = struct.unpack("<Q", rec[:8])[0]
+                if client_id == 1:
+                    szlen = elem_size - 12
+                    size = int.from_bytes(rec[8:8 + szlen], "little")
+                    mask = struct.unpack("<I", rec[8 + szlen:])[0]
+                else:
+                    size, mask = raw_chunk_bytes, 0
+                out.append((addr, size, mask))
+            return out
+
+        def sblk_ndblks(s):
+            return 1 << (s // 2)
+
+        def sblk_dblk_nelmts(s):
+            return data_blk_min_elmts * (1 << ((s + 1) // 2))
+
+        def read_dblock(addr, nelmts):
+            """Elements of one data block (handles paged blocks)."""
+            if addr == UNDEF:
+                return [(UNDEF, 0, 0)] * nelmts
+            prefix = 6 + 8 + arr_off_size  # sig/ver/client + hdr + offset
+            if nelmts <= page_nelmts:
+                blob = self._pread(addr, prefix + nelmts * elem_size)
+                if blob[:4] != b"EADB":
+                    raise ValueError("Bad extensible-array data block")
+                return parse_elems(blob[prefix:], nelmts)
+            # paged: pages (elements + checksum each) follow the prefix
+            head = self._pread(addr, prefix)
+            if head[:4] != b"EADB":
+                raise ValueError("Bad extensible-array data block")
+            out = []
+            pos = addr + prefix + 4  # + data-block checksum
+            remaining = nelmts
+            while remaining > 0:
+                n = min(page_nelmts, remaining)
+                blob = self._pread(pos, n * elem_size)
+                out.extend(parse_elems(blob, n))
+                pos += n * elem_size + 4  # + page checksum
+                remaining -= n
+            return out
+
+        # ---- index block ----
+        nsblks_total = 1 + (max_nelmts_bits
+                            - (data_blk_min_elmts.bit_length() - 1))
+        iblk_nsblks = 2 * (sup_blk_min_data_ptrs.bit_length() - 1)
+        ndblk_addrs = 2 * (sup_blk_min_data_ptrs - 1)
+        nsblk_addrs = max(0, nsblks_total - iblk_nsblks)
+        prefix = 6 + 8
+        iblk_size = (prefix + idx_blk_elmts * elem_size
+                     + (ndblk_addrs + nsblk_addrs) * 8 + 4)
+        blob = self._pread(iblk_addr, iblk_size)
+        if blob[:4] != b"EAIB":
+            raise ValueError("Bad extensible-array index block")
+        pos = prefix
+        inline = parse_elems(blob[pos:], idx_blk_elmts)
+        pos += idx_blk_elmts * elem_size
+        dblk_addrs = list(struct.unpack(f"<{ndblk_addrs}Q",
+                                        blob[pos:pos + ndblk_addrs * 8]))
+        pos += ndblk_addrs * 8
+        sblk_addrs = list(struct.unpack(f"<{nsblk_addrs}Q",
+                                        blob[pos:pos + nsblk_addrs * 8]))
+
+        dblock_cache: Dict[Tuple[int, int], list] = {}
+        sblock_cache: Dict[int, list] = {}
+
+        def read_sblock(s):
+            """Data-block addresses of super block s (>= iblk_nsblks)."""
+            if s in sblock_cache:
+                return sblock_cache[s]
+            addr = sblk_addrs[s - iblk_nsblks]
+            nd = sblk_ndblks(s)
+            if addr == UNDEF:
+                sblock_cache[s] = [UNDEF] * nd
+                return sblock_cache[s]
+            dblk_nelmts = sblk_dblk_nelmts(s)
+            npages = (dblk_nelmts + page_nelmts - 1) // page_nelmts \
+                if dblk_nelmts > page_nelmts else 0
+            bitmap_bytes = (nd * npages + 7) // 8 if npages else 0
+            pre = 6 + 8 + arr_off_size + bitmap_bytes
+            blob = self._pread(addr, pre + nd * 8)
+            if blob[:4] != b"EASB":
+                raise ValueError("Bad extensible-array super block")
+            sblock_cache[s] = list(struct.unpack(f"<{nd}Q",
+                                                 blob[pre:pre + nd * 8]))
+            return sblock_cache[s]
+
+        for idx in range(n_needed):
+            if idx < idx_blk_elmts:
+                yield inline[idx]
+                continue
+            u = idx - idx_blk_elmts
+            s = (u // data_blk_min_elmts + 1).bit_length() - 1
+            start = ((1 << s) - 1) * data_blk_min_elmts
+            rel = u - start
+            dblk_nelmts = sblk_dblk_nelmts(s)
+            di = rel // dblk_nelmts
+            ei = rel % dblk_nelmts
+            if s < iblk_nsblks:
+                gdi = sum(sblk_ndblks(t) for t in range(s)) + di
+                daddr = dblk_addrs[gdi] if gdi < len(dblk_addrs) else UNDEF
+            else:
+                addrs = read_sblock(s)
+                daddr = addrs[di] if di < len(addrs) else UNDEF
+            key = (s, di)
+            if key not in dblock_cache:
+                dblock_cache[key] = read_dblock(daddr, dblk_nelmts)
+            yield dblock_cache[key][ei]
+
+    def _read_btree2_chunks(self, bthd_addr: int, rank: int,
+                            chunk_shape, dtype):
+        """Decode a version-2 B-tree chunk index (BTHD header, BTIN
+        internal / BTLF leaf nodes; record types 10 = unfiltered and
+        11 = filtered dataset chunks). Yields
+        (scaled_coords, chunk_addr, stored_size, filter_mask)."""
+        hdr = self._pread(bthd_addr, 42)
+        if hdr[:4] != b"BTHD":
+            raise ValueError("Bad v2 B-tree header")
+        btype = hdr[5]
+        node_size, record_size, depth = struct.unpack("<IHH", hdr[6:14])
+        root_addr, root_nrec = struct.unpack("<QH", hdr[16:26])
+        if btype not in (10, 11):
+            raise ValueError(f"v2 B-tree type {btype} is not a chunk index")
+        raw_chunk_bytes = int(np.prod(chunk_shape)) * dtype.itemsize
+        if btype == 11:
+            szlen = record_size - 8 - 4 - 8 * rank
+            if szlen < 1:
+                raise ValueError("Bad filtered-chunk record size")
+        if root_addr == UNDEF or root_nrec == 0:
+            return
+
+        def enc_size(v: int) -> int:
+            return (max(v, 1).bit_length() - 1) // 8 + 1
+
+        # per-level max-record math: pointer/record field sizes
+        leaf_max = (node_size - 10) // record_size
+        max_nrec_size = enc_size(leaf_max)
+        cum_max = [leaf_max]
+        cum_max_size = [0]
+        for u in range(1, depth + 1):
+            ptr = 8 + max_nrec_size + cum_max_size[u - 1]
+            mx = (node_size - (10 + ptr)) // (record_size + ptr)
+            cm = (mx + 1) * cum_max[u - 1] + mx
+            cum_max.append(cm)
+            cum_max_size.append(enc_size(cm))
+
+        def parse_record(rec: bytes):
+            addr = struct.unpack("<Q", rec[:8])[0]
+            if btype == 11:
+                size = int.from_bytes(rec[8:8 + szlen], "little")
+                mask = struct.unpack("<I", rec[8 + szlen:8 + szlen + 4])[0]
+                off = 8 + szlen + 4
+            else:
+                size, mask = raw_chunk_bytes, 0
+                off = 8
+            scaled = struct.unpack(f"<{rank}Q", rec[off:off + 8 * rank])
+            return tuple(int(s) for s in scaled), addr, size, mask
+
+        def walk(addr: int, nrec: int, level: int):
+            blob = self._pread(addr, node_size)
+            sig = blob[:4]
+            pos = 6
+            records = []
+            for _ in range(nrec):
+                records.append(parse_record(blob[pos:pos + record_size]))
+                pos += record_size
+            if level == 0:
+                if sig != b"BTLF":
+                    raise ValueError("Bad v2 B-tree leaf node")
+                yield from records
+                return
+            if sig != b"BTIN":
+                raise ValueError("Bad v2 B-tree internal node")
+            ptr_extra = max_nrec_size + (cum_max_size[level - 1]
+                                         if level > 1 else 0)
+            children = []
+            for _ in range(nrec + 1):
+                caddr = struct.unpack("<Q", blob[pos:pos + 8])[0]
+                cnrec = int.from_bytes(
+                    blob[pos + 8:pos + 8 + max_nrec_size], "little")
+                pos += 8 + ptr_extra
+                children.append((caddr, cnrec))
+            for i, (caddr, cnrec) in enumerate(children):
+                yield from walk(caddr, cnrec, level - 1)
+                if i < nrec:
+                    yield records[i]
+
+        yield from walk(root_addr, root_nrec, depth)
 
     def _iter_chunks(self, btree_addr: int, rank_plus1: int):
         """Yield (offsets, addr, size, filter_mask) from a v1 chunk B-tree."""

@@ -102,3 +102,33 @@ def test_hdf5_roundtrip_fuzz(tmp_path, trial):
         ds = f.groups["g"].variables["d"]
         np.testing.assert_array_equal(ds.read(), data)
         assert ds.attrs["units"] == "x"
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_hdf5_unlimited_dims_fuzz(tmp_path, trial):
+    """h5py-written files with unlimited dimensions: random rank, which
+    dims are unlimited (1 unlimited -> extensible-array index, >1 ->
+    v2 B-tree under libver="latest"; v1 B-tree under "earliest"), chunk
+    shapes, filters. The reader must round-trip them all."""
+    import h5py
+    from hyperres.io.hdf5 import HDF5File
+    rank = int(RNG.integers(1, 4))
+    shape = tuple(int(RNG.integers(2, 20)) for _ in range(rank))
+    n_unlim = int(RNG.integers(1, rank + 1))
+    unlim = RNG.choice(rank, size=n_unlim, replace=False)
+    maxshape = tuple(None if i in unlim else s for i, s in enumerate(shape))
+    chunks = tuple(max(1, int(RNG.integers(1, s + 1))) for s in shape)
+    dt = np.dtype(RNG.choice(["float32", "float64", "int16", "uint32"]))
+    if dt.kind == "f":
+        data = RNG.normal(size=shape).astype(dt)
+    else:
+        data = RNG.integers(0, 1000, size=shape).astype(dt)
+    libver = str(RNG.choice(["earliest", "latest"]))
+    compression = RNG.choice([None, "gzip"])
+    p = tmp_path / f"u{trial}.h5"
+    with h5py.File(p, "w", libver=libver) as f:
+        f.create_dataset("d", data=data, maxshape=maxshape, chunks=chunks,
+                         compression=compression,
+                         shuffle=bool(compression and RNG.random() < 0.5))
+    with HDF5File(p) as f:
+        np.testing.assert_array_equal(f.variables["d"].read(), data)

@@ -232,4 +232,80 @@ class TestLatestFormat:
             np.testing.assert_array_equal(ds.read_band_range(3, 11),
                                           cube[..., 3:11])
             assert f.attrs["title"] == "v2"
-            assert ds.attrs["units"] == "nm"
+
+    # -- unlimited dimensions: extensible-array / v2-B-tree chunk indexes
+    # (the layouts netcdf-c emits for record dims in newer formats;
+    # reference boundary: EMIT_data/emit_proj.py:607-614 reads anything)
+
+    def test_extensible_array_filtered(self, tmp_path):
+        a = np.arange(5 * 8 * 6, dtype=np.float32).reshape(5, 8, 6)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset(
+            "d", data=a, maxshape=(None, 8, 6), chunks=(2, 4, 3),
+            compression="gzip", shuffle=True), a)
+
+    def test_extensible_array_unfiltered(self, tmp_path):
+        a = np.arange(20, dtype=np.int32)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset(
+            "d", data=a, maxshape=(None,), chunks=(3,)), a)
+
+    def test_extensible_array_superblocks(self, tmp_path):
+        # enough 1-element chunks to spill past the index block into
+        # the doubling super-block structure
+        a = np.arange(6000, dtype=np.float32)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset(
+            "d", data=a, maxshape=(None,), chunks=(1,)), a)
+
+    def test_extensible_array_unlimited_not_first(self, tmp_path):
+        # element order swizzles the unlimited dim to the front
+        a = np.arange(4 * 500, dtype=np.float64).reshape(4, 500)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset(
+            "d", data=a, maxshape=(4, None), chunks=(2, 5)), a)
+
+    def test_btree2_unfiltered_deep(self, tmp_path):
+        # 50*40 = 2000 records forces internal (BTIN) nodes
+        a = np.arange(100 * 120, dtype=np.float32).reshape(100, 120)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset(
+            "d", data=a, maxshape=(None, None), chunks=(2, 3)), a)
+
+    def test_btree2_filtered(self, tmp_path):
+        a = np.arange(6 * 7, dtype=np.float64).reshape(6, 7)
+        self._roundtrip(tmp_path, lambda f: f.create_dataset(
+            "d", data=a, maxshape=(None, None), chunks=(2, 3),
+            compression="gzip"), a)
+
+    def test_btree2_band_range(self, tmp_path):
+        import h5py
+        from hyperres.io.hdf5 import HDF5File
+        cube = np.arange(6 * 5 * 30, dtype=np.float32).reshape(6, 5, 30)
+        p = tmp_path / "bt2br.h5"
+        with h5py.File(p, "w", libver="latest") as f:
+            f.create_dataset("cube", data=cube,
+                             maxshape=(None, None, 30), chunks=(2, 5, 4),
+                             compression="gzip")
+        with HDF5File(p) as f:
+            np.testing.assert_array_equal(
+                f.variables["cube"].read_band_range(5, 17),
+                cube[..., 5:17])
+
+    def test_vlen_string_dataset(self, tmp_path):
+        import h5py
+        from hyperres.io.hdf5 import HDF5File
+        names = ["alpha", "bravo-long-string", "", "émit"]
+        for libver in ("earliest", "latest"):
+            p = tmp_path / f"vls_{libver}.h5"
+            with h5py.File(p, "w", libver=libver) as f:
+                f.create_dataset("names", data=names,
+                                 dtype=h5py.string_dtype())
+            with HDF5File(p) as f:
+                got = f.variables["names"].read()
+                assert list(got) == names
+
+    def test_maxshape_surfaced(self, tmp_path):
+        import h5py
+        from hyperres.io.hdf5 import HDF5File
+        p = tmp_path / "ms.h5"
+        with h5py.File(p, "w", libver="latest") as f:
+            f.create_dataset("d", shape=(3, 4), maxshape=(None, 4),
+                             chunks=(1, 4))
+        with HDF5File(p) as f:
+            assert f.variables["d"].maxshape == (None, 4)
