@@ -119,6 +119,20 @@ def _cmd_info(args) -> int:
     return 0
 
 
+def _cmd_quicklook(args) -> int:
+    """Single-file interactive HTML viewer (band browser + RGB composite
+    + click-to-spectrum) for a granule (.nc), ENVI product (.hdr) or
+    GeoTIFF stack — the EMIT_experiments.ipynb hvplot exploration
+    surface without a notebook/server."""
+    from .viz.interactive import quicklook_from_product
+
+    out = quicklook_from_product(
+        args.raster, args.out, max_size=args.max_size,
+        max_bands=args.max_bands)
+    print(out)
+    return 0
+
+
 def _cmd_srf(args) -> int:
     """Import the measured Sentinel-2 SRF tables (workbook xlsx or a CSV
     sheet export) into the cache load_srf consults; --fetch downloads
@@ -229,6 +243,14 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("info", help="raster geometry summaries")
     i.add_argument("rasters", nargs="+")
     i.set_defaults(fn=_cmd_info)
+
+    q = sub.add_parser("quicklook", help="interactive single-file HTML "
+                       "cube viewer (band browser, RGB, spectra)")
+    q.add_argument("raster", help=".nc granule, ENVI .hdr, or GeoTIFF")
+    q.add_argument("out", help="output .html path")
+    q.add_argument("--max-size", type=int, default=640)
+    q.add_argument("--max-bands", type=int, default=96)
+    q.set_defaults(fn=_cmd_quicklook)
     return p
 
 
