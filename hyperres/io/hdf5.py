@@ -117,14 +117,10 @@ class Dataset:
         if self.fillvalue:
             out[...] = np.frombuffer(self.fillvalue, dtype=self.dtype)[0]
         cb = self.chunk_shape[-1]
-        for offsets, addr, size, filter_mask in f._iter_dataset_chunks(self):
+        metas = [m for m in f._iter_dataset_chunks(self)
+                 if m[0][-1] + cb > b0 and m[0][-1] < b1]
+        for offsets, chunk in self._decode_chunks(metas):
             c0 = offsets[-1]
-            if c0 + cb <= b0 or c0 >= b1:
-                continue
-            raw = f._pread(addr, size)
-            raw = self._defilter(raw, filter_mask)
-            chunk = np.frombuffer(raw, dtype=self.dtype).reshape(
-                self.chunk_shape)
             # intersection along the band axis
             s0 = max(b0, c0)
             s1 = min(b1, c0 + cb, self.shape[-1])
@@ -138,6 +134,53 @@ class Dataset:
         if self.vlen_string:
             return self._resolve_vlen_strings(out)
         return out
+
+    def _decode_chunks(self, metas):
+        """Decode a list of chunk descriptors [(offsets, addr, size,
+        mask)] into [(offsets, chunk_array)].
+
+        Fast path: when the filter pipeline is the netcdf-standard
+        [deflate] or [shuffle, deflate] with no per-chunk filter-mask
+        exceptions, chunks are inflated with zlib across a thread pool
+        (zlib.decompress releases the GIL, so this scales with host
+        cores — measured faster than the native block codec's
+        per-call ``uncompress`` on this image's CPython zlib) and
+        unshuffled as ONE vectorized transpose over all chunks."""
+        if not metas:
+            return
+        f = self._file
+        fids = [fid for fid, _ in self.filters]
+        chunk_nbytes = (int(np.prod(self.chunk_shape))
+                        * self.dtype.itemsize)
+        batched = (len(metas) > 1 and fids in ([1], [2, 1])
+                   and all(m == 0 for *_x, m in metas))
+        if not batched:
+            for offsets, addr, size, mask in metas:
+                raw = self._defilter(f._pread(addr, size), mask)
+                yield offsets, np.frombuffer(raw, dtype=self.dtype).reshape(
+                    self.chunk_shape)
+            return
+        import os
+        raws = [f._pread(addr, size) for _, addr, size, _ in metas]
+        nthreads = min(8, os.cpu_count() or 1, len(raws))
+        if nthreads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(nthreads) as ex:
+                blocks = list(ex.map(zlib.decompress, raws))
+        else:
+            blocks = [zlib.decompress(r) for r in raws]
+        n = len(blocks)
+        stack = np.frombuffer(b"".join(blocks), dtype=np.uint8)
+        if fids == [2, 1]:  # unshuffle, vectorized across chunks
+            cd = dict(self.filters)[2]
+            elem = cd[0] if cd else self.dtype.itemsize
+            stack = np.ascontiguousarray(
+                stack.reshape(n, elem, chunk_nbytes // elem)
+                .transpose(0, 2, 1))
+        arr = stack.reshape(n, chunk_nbytes).view(self.dtype).reshape(
+            (n,) + tuple(self.chunk_shape))
+        for i, (offsets, *_rest) in enumerate(metas):
+            yield offsets, arr[i]
 
     def _resolve_vlen_strings(self, raw_arr: np.ndarray) -> np.ndarray:
         """Raw 16-byte VL descriptors -> object array of decoded strings
@@ -180,10 +223,8 @@ class Dataset:
         if self.fillvalue:
             fv = np.frombuffer(self.fillvalue, dtype=self.dtype)[0]
             out[...] = fv
-        for offsets, addr, size, filter_mask in f._iter_dataset_chunks(self):
-            raw = f._pread(addr, size)
-            raw = self._defilter(raw, filter_mask)
-            chunk = np.frombuffer(raw, dtype=self.dtype).reshape(self.chunk_shape)
+        metas = list(f._iter_dataset_chunks(self))
+        for offsets, chunk in self._decode_chunks(metas):
             sl = tuple(
                 slice(o, min(o + c, s))
                 for o, c, s in zip(offsets, self.chunk_shape, self.shape))
