@@ -128,6 +128,11 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
                                              st.ot.n_samples, k1)
         Ys, wys = sample_valid_pixels_device(s2_n, valid60,
                                              st.ot.n_samples, k2)
+        # zero the padded (weight-0) slots: when n_valid < n_samples the
+        # padding rows are drawn from INVALID pixels and may be NaN —
+        # inside the weighted fits NaN * 0 = NaN would poison the QR
+        Xs = jnp.where(wxs[:, None] > 0, Xs, 0.0)
+        Ys = jnp.where(wys[:, None] > 0, Ys, 0.0)
         Ybar = ot_barycentric_targets(
             Xs, Ys, reg=st.ot.reg, num_itermax=st.ot.num_itermax,
             stop_thr=st.ot.stop_thr, wx=wxs, wy=wys)
@@ -171,8 +176,12 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
     matched60 = jnp.clip(
         jnp.where(valid60[..., None], apply(emit_n), emit_n), 0.0, 1.0)
     # Phase 4: bilinear upsample of the stretched sim bands to 10 m,
-    # apply the same mapping there
-    sim10 = separable_resample_matmul(emit_n, Wr10, Wc10, fill=jnp.nan)
+    # apply the same mapping there. valid60-renormalised: invalid
+    # sources (NaN swaths or sentinel nodata) contribute nothing instead
+    # of poisoning (NaN) or skewing (sentinel) boundary pixels; zero
+    # valid mass -> NaN -> masked
+    sim10 = separable_resample_matmul(emit_n, Wr10, Wc10, fill=jnp.nan,
+                                      valid_mask=valid60)
     mask10 = jnp.isfinite(sim10).all(axis=-1)
     mapped10 = jnp.clip(apply(jnp.nan_to_num(sim10)), 0.0, 1.0)
     fused = jnp.where(mask10[..., None], mapped10, jnp.nan)

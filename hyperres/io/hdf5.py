@@ -512,21 +512,34 @@ class HDF5File:
         return arr.reshape(ds.shape).copy()
 
     def _read_global_heap(self, collection_addr: int, index: int) -> bytes:
-        raw = self._pread(collection_addr, 16)
-        if raw[:4] != b"GCOL":
-            raise ValueError("Bad global heap collection")
-        size = struct.unpack("<Q", raw[8:16])[0]
-        blob = self._pread(collection_addr, size)
-        pos = 16
-        while pos + 16 <= size:
-            idx, refcount, _res, osize = struct.unpack(
-                "<HHIQ", blob[pos:pos + 16])
-            if idx == 0:
-                break
-            if idx == index:
-                return blob[pos + 16:pos + 16 + osize]
-            pos += 16 + ((osize + 7) & ~7)
-        raise KeyError(f"Global heap object {index} not found")
+        """Object ``index`` of the global-heap collection at
+        ``collection_addr``. Each collection is parsed once into an
+        {index: bytes} dict cached on the file — VL-string datasets
+        resolve thousands of objects against the same collection."""
+        cache = getattr(self, "_gcol_cache", None)
+        if cache is None:
+            cache = self._gcol_cache = {}
+        objs = cache.get(collection_addr)
+        if objs is None:
+            raw = self._pread(collection_addr, 16)
+            if raw[:4] != b"GCOL":
+                raise ValueError("Bad global heap collection")
+            size = struct.unpack("<Q", raw[8:16])[0]
+            blob = self._pread(collection_addr, size)
+            objs = {}
+            pos = 16
+            while pos + 16 <= size:
+                idx, _refcount, _res, osize = struct.unpack(
+                    "<HHIQ", blob[pos:pos + 16])
+                if idx == 0:
+                    break
+                objs[idx] = blob[pos + 16:pos + 16 + osize]
+                pos += 16 + ((osize + 7) & ~7)
+            cache[collection_addr] = objs
+        try:
+            return objs[index]
+        except KeyError:
+            raise KeyError(f"Global heap object {index} not found") from None
 
     # ---- groups ----
 
@@ -831,18 +844,32 @@ class HDF5File:
             _, fahd_addr = ds.chunk_index
             if fahd_addr == UNDEF:
                 return
-            coords = list(np.ndindex(*grid))
+            # element order is row-major over the MAXSHAPE chunk grid
+            # (a fixed-but-resizable maxshape > shape changes the
+            # strides even though no dim is unlimited)
+            max_grid = list(grid)
+            if ds.maxshape is not None:
+                for d, m in enumerate(ds.maxshape):
+                    if m is not None:
+                        max_grid[d] = -(-int(m) // ds.chunk_shape[d])
+            coords = list(np.ndindex(*max_grid))
             for i, (addr, size, mask) in enumerate(
                     self._read_fixed_array(fahd_addr,
                                            ds.chunk_shape, ds.dtype)):
                 if addr == UNDEF or i >= len(coords):
                     continue
-                yield (tuple(o * c for o, c in zip(coords[i],
-                                                   ds.chunk_shape)),
+                coord = coords[i]
+                if any(coord[d] >= grid[d] for d in range(rank)):
+                    continue  # beyond the current shape
+                yield (tuple(o * c for o, c in zip(coord, ds.chunk_shape)),
                        addr, size, mask)
         elif kind == "extensible":
             # element order is row-major over the chunk grid with the
-            # (single) unlimited dimension swizzled to the front
+            # (single) unlimited dimension swizzled to the front. The
+            # grid strides use MAXSHAPE on the fixed dims — HDF5 derives
+            # the element index from max dims so it stays stable when
+            # the dataset is resized; the current shape only bounds how
+            # far along the unlimited dim chunks exist.
             _, eahd_addr = ds.chunk_index
             if eahd_addr == UNDEF:
                 return
@@ -852,9 +879,15 @@ class HDF5File:
                     if m is None:
                         unlim = d
                         break
+            max_grid = list(grid)
+            if ds.maxshape is not None:
+                for d, m in enumerate(ds.maxshape):
+                    if m is not None:
+                        max_grid[d] = -(-int(m) // ds.chunk_shape[d])
             order = [unlim] + [d for d in range(rank) if d != unlim]
-            sw_grid = [grid[d] for d in order]
-            n_needed = int(np.prod(grid, dtype=np.int64))
+            sw_grid = [max_grid[d] for d in order]
+            n_needed = int(grid[unlim]) * int(
+                np.prod([max_grid[d] for d in order[1:]], dtype=np.int64))
             for i, (addr, size, mask) in enumerate(
                     self._read_extensible_array(eahd_addr, n_needed,
                                                 ds.chunk_shape, ds.dtype)):
@@ -864,6 +897,8 @@ class HDF5File:
                 coord = [0] * rank
                 for d, v in zip(order, sw):
                     coord[d] = int(v)
+                if any(coord[d] >= grid[d] for d in range(rank)):
+                    continue  # beyond the current shape
                 yield (tuple(o * c for o, c in zip(coord, ds.chunk_shape)),
                        addr, size, mask)
         elif kind == "btree2":

@@ -64,21 +64,8 @@ def quantize_slab_u16(slab: np.ndarray, nodata: float = NO_DATA_VALUE
     return q.reshape(shape), scale32, offset32
 
 
-@lru_cache(maxsize=None)
-def _u16_updater(nodata: float):
-    @partial(jax.jit, donate_argnums=0)
-    def update(out, q, scale, offset, b0):
-        x = q.astype(jnp.float32) * scale + offset
-        x = jnp.where(q == jnp.uint16(U16_SENTINEL),
-                      jnp.float32(nodata), x)
-        return lax.dynamic_update_slice(
-            out, x, (jnp.int32(0), jnp.int32(0), b0))
-
-    return update
-
-
 @partial(jax.jit, donate_argnums=0)
-def _f32_updater(out, x, b0):
+def _slice_updater(out, x, b0):
     return lax.dynamic_update_slice(
         out, x, (jnp.int32(0), jnp.int32(0), b0))
 
@@ -95,38 +82,20 @@ def stream_cube_to_device(
 ) -> jax.Array:
     """Assemble a device-resident (H, W, B) float32 cube from chunked
     host band reads, overlapping read + quantize + transfer with the
-    device-side updates.
+    device-side updates — :func:`stream_cube_fold` with a donated
+    ``dynamic_update_slice`` as the fold.
 
     ``read_bands(b0, b1)`` returns the (H, W, b1-b0) float32 slab.
     ``transfer``: 'u16' (per-band affine quantization, half the bytes on
     the wire, error <= band_range/65534/2) or 'f32' (bit-exact).
     """
-    if transfer not in ("u16", "f32"):
-        raise ValueError(f"transfer must be 'u16' or 'f32', got {transfer!r}")
     h, w, n_bands = shape_hwb
-    chunk_bands = max(1, int(chunk_bands))
-
-    def source():
-        for b0 in range(0, n_bands, chunk_bands):
-            slab = np.asarray(read_bands(b0, min(b0 + chunk_bands, n_bands)),
-                              dtype=np.float32)
-            if transfer == "u16":
-                q, scale, offset = quantize_slab_u16(slab, nodata)
-                yield (q, scale, offset, np.int32(b0))
-            else:
-                yield (slab, np.int32(b0))
-
     out = jax.device_put(
         jnp.full((h, w, n_bands), jnp.float32(nodata)), device)
-    upd_u16 = _u16_updater(float(nodata))
-    for item in PrefetchToDevice(source(), depth=depth, device=device):
-        if transfer == "u16":
-            q, scale, offset, b0 = item
-            out = upd_u16(out, q, scale, offset, b0)
-        else:
-            x, b0 = item
-            out = _f32_updater(out, x, b0)
-    return out
+    return stream_cube_fold(
+        read_bands, shape_hwb, _slice_updater, out, transfer=transfer,
+        chunk_bands=chunk_bands, depth=depth, nodata=nodata,
+        device=device)
 
 
 @lru_cache(maxsize=None)

@@ -284,11 +284,16 @@ def separable_weight_matrix(idx_1d: np.ndarray, src_size: int,
 def separable_resample_matmul(img: jax.Array, Wr: jax.Array, Wc: jax.Array,
                               nodata: Optional[float] = None,
                               fill: float = NO_DATA_VALUE,
-                              fast: bool = True) -> jax.Array:
+                              fast: bool = True,
+                              valid_mask: Optional[jax.Array] = None
+                              ) -> jax.Array:
     """img (Hs, Ws, B) resampled to (Hd, Wd, B) with row/col weight
     matrices Wr (Hd, Hs), Wc (Wd, Ws). Nodata-excluded renormalisation
     identical in semantics to ``warp_interpolate``: masked sources
-    contribute zero and the weight mass is re-normalised per pixel."""
+    contribute zero and the weight mass is re-normalised per pixel.
+    ``valid_mask`` (Hs, Ws) marks validity shared by all bands — one
+    1-band weight-mass matmul instead of a per-band one, and it also
+    excludes NaN sources (which a scalar ``nodata`` compare cannot)."""
     precision = (jax.lax.Precision.DEFAULT if fast
                  else jax.lax.Precision.HIGHEST)
     def mm(arr):
@@ -296,7 +301,11 @@ def separable_resample_matmul(img: jax.Array, Wr: jax.Array, Wc: jax.Array,
         t1 = jnp.einsum("dh,hwb->dwb", Wr, arr, precision=precision)
         return jnp.einsum("ew,dwb->deb", Wc, t1, precision=precision)
 
-    if nodata is not None:
+    if valid_mask is not None:
+        ok = valid_mask[..., None]
+        num = mm(jnp.where(ok, img, 0.0))
+        den = mm(valid_mask.astype(jnp.float32)[..., None])
+    elif nodata is not None:
         ok = (img != nodata) & jnp.isfinite(img)
         num = mm(jnp.where(ok, img, 0.0))
         den = mm(ok.astype(jnp.float32))

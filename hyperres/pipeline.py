@@ -39,7 +39,7 @@ from .io.tiff import TiffReader, write_geotiff
 from .kernels.stats import shared_percentile_stretch
 from .kernels.warp import resample_to_grid
 from .ortho import orthorectify_granule
-from .spectral import crop_to_overlap, load_srf
+from .spectral import crop_to_overlap, describe_srf_source, load_srf
 from .kernels.srf import (
     build_box_weight_matrix, build_srf_weight_matrix, srf_synthesize,
 )
@@ -153,6 +153,7 @@ def _fuse_pair_fused(
             "degree": config.degree,
             "fusion_method": fusion_method,
             "engine": "fused",
+            "srf_source": describe_srf_source(platform),
         },
     )
 
@@ -317,6 +318,7 @@ def fuse_pair(
             "degree": cfg.degree,
             "fusion_method": fusion_method,
             "engine": "phases",
+            "srf_source": describe_srf_source(platform),
         },
     )
 

@@ -1,5 +1,5 @@
 from .srf_tables import (
-    builtin_srf, load_srf, load_srf_from_xlsx, band_resolution_m,
+    builtin_srf, describe_srf_source, load_srf, load_srf_from_xlsx, band_resolution_m,
     S2A_BAND_TABLE, S2B_BAND_TABLE, S2_BOX_TABLE,
 )
 from .srf_cache import (
@@ -13,7 +13,7 @@ from .synth import (
 )
 
 __all__ = [
-    "builtin_srf", "load_srf", "load_srf_from_xlsx", "band_resolution_m",
+    "builtin_srf", "describe_srf_source", "load_srf", "load_srf_from_xlsx", "band_resolution_m",
     "import_srf_tables", "load_srf_from_csv", "load_srf_npz",
     "measured_srf", "save_srf_npz",
     "S2A_BAND_TABLE", "S2B_BAND_TABLE", "S2_BOX_TABLE",

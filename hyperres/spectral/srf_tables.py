@@ -165,3 +165,23 @@ def load_srf(platform: str = "S2A",
     if cached is not None:
         return cached
     return builtin_srf(platform=platform, bands=bands)
+
+
+def describe_srf_source(platform: str = "S2A",
+                        xlsx_path: Optional[Union[str, Path]] = None
+                        ) -> str:
+    """Which table :func:`load_srf` would resolve to, for run ledgers —
+    the resolver consults per-machine cache state, so every fusion run
+    records the source it actually used ("workbook:<path>" |
+    "measured-cache:<path>" | "parametric")."""
+    if xlsx_path is not None and Path(xlsx_path).exists():
+        return f"workbook:{xlsx_path}"
+    import os
+
+    from .srf_cache import PACKAGE_DATA_DIR, _npz_name, user_cache_dir
+    if os.environ.get("HYPERRES_SRF_SOURCE") != "parametric":
+        name = _npz_name(platform)
+        for root in (PACKAGE_DATA_DIR, user_cache_dir()):
+            if (root / name).exists():
+                return f"measured-cache:{root / name}"
+    return "parametric"

@@ -293,7 +293,10 @@ def quicklook_from_product(
     cube, or a raw EMIT granule (.nc) — band browsing over whichever
     cube the file holds."""
     p = Path(path)
-    if p.suffix.lower() == ".hdr" or p.with_suffix(".hdr").exists():
+    # explicit suffixes first: a granule with a same-stem ENVI header
+    # sitting next to it must still route to the granule reader
+    if p.suffix.lower() != ".nc" and (
+            p.suffix.lower() == ".hdr" or p.with_suffix(".hdr").exists()):
         from ..io import envi
         hdr = p if p.suffix.lower() == ".hdr" else p.with_suffix(".hdr")
         r = envi.EnviReader(hdr)

@@ -1,7 +1,9 @@
 """Sustained multi-granule throughput: process several granules
 back-to-back through the single jitted pipeline (shapes shared, so the
-compile is amortised) with host scene generation overlapped via a
-loader thread. Reports granules/minute."""
+compile is amortised), each granule ingested through the production
+streaming path (chunked u16-quantized transfer overlapped with device
+assembly; HYPERRES_TP_TRANSFER=f32 for bit-exact upload). Reports
+granules/minute."""
 import queue
 import threading
 import time
@@ -131,9 +133,16 @@ def main():
     print("pre-generating granules ...", flush=True)
     granules = [gen_granule(i) for i in range(n_granules + 1)]
 
+    from hyperres.io.ingest import stream_cube_to_device
+    transfer = os.environ.get("HYPERRES_TP_TRANSFER", "u16")
+
+    def upload(raw):
+        return stream_cube_to_device(
+            lambda b0, b1: raw[..., b0:b1], raw.shape, transfer=transfer)
+
     # warmup (compile) on granule 0
     raw, s2rgb = granules[0]
-    fused = jitted(jax.device_put(raw), flat_j, valid_j, wr_j, wc_j, cstar_j, W_j,
+    fused = jitted(upload(raw), flat_j, valid_j, wr_j, wc_j, cstar_j, W_j,
                    jax.device_put(s2rgb), Wr10, Wc10,
                    jax.random.PRNGKey(0))
     jax.block_until_ready(fused)
@@ -143,7 +152,11 @@ def main():
     t0 = time.perf_counter()
     done = 0
     for raw, s2rgb in granules[1:]:
-        fused = jitted(jax.device_put(raw), flat_j, valid_j, wr_j, wc_j, cstar_j,
+        t_up0 = time.perf_counter()
+        raw_j = upload(raw)
+        jax.block_until_ready(raw_j)
+        t_up = time.perf_counter() - t_up0
+        fused = jitted(raw_j, flat_j, valid_j, wr_j, wc_j, cstar_j,
                        W_j, jax.device_put(s2rgb), Wr10, Wc10,
                        jax.random.PRNGKey(done + 1))
         jax.block_until_ready(fused)
@@ -151,7 +164,8 @@ def main():
         fused.delete()
         done += 1
         print(f"granule {done} done at "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
+              f"{time.perf_counter() - t0:.1f}s "
+              f"(ingest {t_up:.1f}s, {transfer})", flush=True)
     total = time.perf_counter() - t0
     print(f"throughput: {done} granules in {total:.1f}s = "
           f"{done / total * 60:.1f} granules/min "

@@ -203,3 +203,40 @@ def test_fused_identity_fallback():
     ident = np.zeros((3, 5))
     ident[:, -2] = 1.0
     np.testing.assert_allclose(coeffs, ident, atol=1e-6)
+
+
+def test_fused_ot_handles_nan_padding(rng):
+    """When n_valid < ot.n_samples the device sampler pads with rows
+    drawn from INVALID pixels — which may be NaN (nodata swaths). The
+    fit must zero those weight-0 slots instead of letting NaN poison
+    the QR (coeffs all-NaN, fused product all-NaN)."""
+    from hyperres.core.config import OTConfig, PolyFusionConfig
+    from hyperres.core.crs import CRS
+    from hyperres.core.grid import Grid
+    from hyperres.fusion.fused import FusedFusionPlan
+    from hyperres.testing.scenes import emit_wavelength_grid
+
+    wl, good = emit_wavelength_grid(48)
+    utm = CRS.utm(33, True)
+    emit_grid = Grid(utm, 399960.0, 5800020.0, 60.0, 60.0, 24, 24)
+    s2_grid = Grid(utm, 399960.0, 5800020.0, 10.0, 10.0, 144, 144)
+    base = np.linspace(0.15, 0.75, 24 * 24,
+                       dtype=np.float32).reshape(24, 24)
+    cube = (base[..., None]
+            * (0.5 + 0.5 * rng.random(48).astype(np.float32)))
+    cube[:14, :, :] = np.nan  # most of the scene is nodata
+    n_valid = 24 * 24 - 14 * 24
+    s2 = np.stack([np.clip(base * c, 0, 1) for c in (0.9, 1.0, 1.1)])
+    s2_10 = np.repeat(np.repeat(s2, 6, axis=1), 6, axis=2)
+
+    plan = FusedFusionPlan(
+        emit_grid, s2_grid, wl, good,
+        config=PolyFusionConfig(
+            degree=2, min_pixels=50,
+            ot=OTConfig(n_samples=400, num_itermax=20)))
+    assert n_valid < 400  # the padding regime under test
+    out = plan(cube, plan.prepare_s2(s2_10))
+    coeffs = np.asarray(out["coeffs"])
+    assert np.isfinite(coeffs).all(), coeffs
+    fused = np.asarray(out["fused_10m"])
+    assert np.isfinite(fused).mean() > 0.3

@@ -309,3 +309,26 @@ class TestLatestFormat:
                              chunks=(1, 4))
         with HDF5File(p) as f:
             assert f.variables["d"].maxshape == (None, 4)
+
+    def test_maxshape_grid_strides(self, tmp_path):
+        """Element-index strides come from MAXSHAPE, not current shape:
+        a fixed-but-resizable dim whose max chunk grid differs from the
+        current one changes the linearization for both the fixed-array
+        and extensible-array indexes."""
+        import h5py
+        from hyperres.io.hdf5 import HDF5File
+        p = tmp_path / "ms_grid.h5"
+        with h5py.File(p, "w", libver="latest") as f:
+            a = np.arange(1500).reshape(3, 500).astype("f4")
+            d = f.create_dataset("ea", shape=(3, 500), maxshape=(8, None),
+                                 chunks=(2, 5))
+            d[:] = a
+            b = np.arange(42).reshape(6, 7).astype("f4")
+            d2 = f.create_dataset("fa", shape=(6, 7), maxshape=(12, 15),
+                                  chunks=(2, 3))
+            d2[:] = b
+        with HDF5File(p) as f:
+            assert f.variables["ea"].chunk_index[0] == "extensible"
+            np.testing.assert_array_equal(f.variables["ea"].read(), a)
+            assert f.variables["fa"].chunk_index[0] == "fixed"
+            np.testing.assert_array_equal(f.variables["fa"].read(), b)
