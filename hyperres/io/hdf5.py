@@ -14,6 +14,8 @@ netCDF-4 files, i.e. HDF5 written by netcdf-c *without* the
   fixed array, extensible array (1 unlimited dim, incl. super blocks
   and paged data blocks) and v2 B-tree (>1 unlimited dim, any depth) —
   the layouts netcdf-c emits for record/unlimited dimensions,
+- dense link and attribute storage (fractal heap + name-index v2
+  B-trees — "latest" groups with >8 links / objects with many attrs),
 - datatypes: fixed-point / IEEE float (little-endian), fixed strings,
 - attributes (message 0x000C, v1-v3), including scalar string attrs,
 - variable-length string attributes AND datasets via the global heap
@@ -561,6 +563,14 @@ class HDF5File:
                 lk = self._parse_link_message(body)
                 if lk is not None:
                     links.append(lk)
+            elif mtype == 0x0002:  # link info (v2 dense groups)
+                for msg in self._dense_link_messages(body):
+                    lk = self._parse_link_message(msg)
+                    if lk is not None:
+                        links.append(lk)
+            elif mtype == 0x0015:  # attribute info (dense attributes)
+                for k, v in self._dense_attributes(body):
+                    grp.attrs[k] = v
         for child_name, child_addr in links:
             child_msgs = self._read_messages(child_addr)
             types = {m[0] for m in child_msgs}
@@ -678,6 +688,9 @@ class HDF5File:
                 except (ValueError, KeyError, struct.error):
                     continue  # unsupported attr datatype: skip, don't fail
                 attrs[k] = v
+            elif mtype == 0x0015:  # attribute info (dense attributes)
+                for k, v in self._dense_attributes(body):
+                    attrs[k] = v
         np_dtype = dtype.numpy_dtype() if dtype else np.dtype("f4")
         ds = Dataset(name=name, shape=shape, dtype=np_dtype, layout=layout,
                      data_addr=data_addr, data_size=data_size,
@@ -1109,25 +1122,18 @@ class HDF5File:
                 dblock_cache[key] = read_dblock(daddr, dblk_nelmts)
             yield dblock_cache[key][ei]
 
-    def _read_btree2_chunks(self, bthd_addr: int, rank: int,
-                            chunk_shape, dtype):
-        """Decode a version-2 B-tree chunk index (BTHD header, BTIN
-        internal / BTLF leaf nodes; record types 10 = unfiltered and
-        11 = filtered dataset chunks). Yields
-        (scaled_coords, chunk_addr, stored_size, filter_mask)."""
+    def _walk_btree2(self, bthd_addr: int):
+        """Generic version-2 B-tree traversal (BTHD header, BTIN
+        internal / BTLF leaf nodes). Yields (btree_type, raw_record
+        bytes) for every record; callers parse per record type."""
+        if bthd_addr == UNDEF:
+            return
         hdr = self._pread(bthd_addr, 42)
         if hdr[:4] != b"BTHD":
             raise ValueError("Bad v2 B-tree header")
         btype = hdr[5]
         node_size, record_size, depth = struct.unpack("<IHH", hdr[6:14])
         root_addr, root_nrec = struct.unpack("<QH", hdr[16:26])
-        if btype not in (10, 11):
-            raise ValueError(f"v2 B-tree type {btype} is not a chunk index")
-        raw_chunk_bytes = int(np.prod(chunk_shape)) * dtype.itemsize
-        if btype == 11:
-            szlen = record_size - 8 - 4 - 8 * rank
-            if szlen < 1:
-                raise ValueError("Bad filtered-chunk record size")
         if root_addr == UNDEF or root_nrec == 0:
             return
 
@@ -1146,25 +1152,13 @@ class HDF5File:
             cum_max.append(cm)
             cum_max_size.append(enc_size(cm))
 
-        def parse_record(rec: bytes):
-            addr = struct.unpack("<Q", rec[:8])[0]
-            if btype == 11:
-                size = int.from_bytes(rec[8:8 + szlen], "little")
-                mask = struct.unpack("<I", rec[8 + szlen:8 + szlen + 4])[0]
-                off = 8 + szlen + 4
-            else:
-                size, mask = raw_chunk_bytes, 0
-                off = 8
-            scaled = struct.unpack(f"<{rank}Q", rec[off:off + 8 * rank])
-            return tuple(int(s) for s in scaled), addr, size, mask
-
         def walk(addr: int, nrec: int, level: int):
             blob = self._pread(addr, node_size)
             sig = blob[:4]
             pos = 6
             records = []
             for _ in range(nrec):
-                records.append(parse_record(blob[pos:pos + record_size]))
+                records.append((btype, blob[pos:pos + record_size]))
                 pos += record_size
             if level == 0:
                 if sig != b"BTLF":
@@ -1188,6 +1182,76 @@ class HDF5File:
                     yield records[i]
 
         yield from walk(root_addr, root_nrec, depth)
+
+    def _read_btree2_chunks(self, bthd_addr: int, rank: int,
+                            chunk_shape, dtype):
+        """Decode a version-2 B-tree chunk index (record types 10 =
+        unfiltered and 11 = filtered dataset chunks). Yields
+        (scaled_coords, chunk_addr, stored_size, filter_mask)."""
+        raw_chunk_bytes = int(np.prod(chunk_shape)) * dtype.itemsize
+        for btype, rec in self._walk_btree2(bthd_addr):
+            if btype not in (10, 11):
+                raise ValueError(
+                    f"v2 B-tree type {btype} is not a chunk index")
+            addr = struct.unpack("<Q", rec[:8])[0]
+            if btype == 11:
+                szlen = len(rec) - 8 - 4 - 8 * rank
+                if szlen < 1:
+                    raise ValueError("Bad filtered-chunk record size")
+                size = int.from_bytes(rec[8:8 + szlen], "little")
+                mask = struct.unpack("<I", rec[8 + szlen:8 + szlen + 4])[0]
+                off = 8 + szlen + 4
+            else:
+                size, mask = raw_chunk_bytes, 0
+                off = 8
+            scaled = struct.unpack(f"<{rank}Q", rec[off:off + 8 * rank])
+            yield tuple(int(s) for s in scaled), addr, size, mask
+
+    # ---- fractal heap (dense link / attribute storage) ----
+
+    def _fractal_heap(self, frhp_addr: int) -> "_FractalHeap":
+        cache = getattr(self, "_fheap_cache", None)
+        if cache is None:
+            cache = self._fheap_cache = {}
+        if frhp_addr not in cache:
+            cache[frhp_addr] = _FractalHeap(self, frhp_addr)
+        return cache[frhp_addr]
+
+    def _dense_link_messages(self, body: bytes):
+        """Link Info message (0x0002) -> the dense-storage link message
+        bodies (fractal heap objects reached through the name-index v2
+        B-tree, record type 5 = {hash u32, heap ID})."""
+        flags = body[1]
+        pos = 2 + (8 if flags & 0x01 else 0)  # max creation index
+        fheap_addr, name_bt_addr = struct.unpack("<QQ",
+                                                 body[pos:pos + 16])
+        if fheap_addr == UNDEF or name_bt_addr == UNDEF:
+            return
+        heap = self._fractal_heap(fheap_addr)
+        for btype, rec in self._walk_btree2(name_bt_addr):
+            if btype != 5:
+                raise ValueError(f"Unexpected link-name B-tree type {btype}")
+            yield heap.get(rec[4:])  # skip the 4-byte name hash
+
+    def _dense_attributes(self, body: bytes):
+        """Attribute Info message (0x0015) -> decoded (name, value)
+        pairs from dense attribute storage (fractal heap + name-index
+        v2 B-tree, record type 8 = {heap ID 8B, flags, corder, hash})."""
+        flags = body[1]
+        pos = 2 + (2 if flags & 0x01 else 0)  # max creation index
+        fheap_addr, name_bt_addr = struct.unpack("<QQ",
+                                                 body[pos:pos + 16])
+        if fheap_addr == UNDEF or name_bt_addr == UNDEF:
+            return
+        heap = self._fractal_heap(fheap_addr)
+        for btype, rec in self._walk_btree2(name_bt_addr):
+            if btype != 8:
+                raise ValueError(f"Unexpected attr-name B-tree type {btype}")
+            msg = heap.get(rec[:8])
+            try:
+                yield self._parse_attribute(msg)
+            except (ValueError, KeyError, struct.error):
+                continue  # unsupported attr datatype: skip, don't fail
 
     def _iter_chunks(self, btree_addr: int, rank_plus1: int):
         """Yield (offsets, addr, size, filter_mask) from a v1 chunk B-tree."""
@@ -1217,6 +1281,97 @@ class HDF5File:
                     yield tuple(int(o) for o in offs[:-1]), child, size, mask
 
         yield from walk(btree_addr)
+
+
+class _FractalHeap:
+    """Managed-object fractal heap reader (FRHP header + FHDB direct
+    blocks via the doubling table; dense link/attribute storage uses
+    managed objects only). Heap IDs address the managed space in which
+    each direct block's own header occupies the leading bytes, so an
+    object read is block_addr + (heap_offset - block_start)."""
+
+    def __init__(self, f: "HDF5File", frhp_addr: int):
+        self.f = f
+        hdr = f._pread(frhp_addr, 142)
+        if hdr[:4] != b"FRHP":
+            raise ValueError("Bad fractal heap header")
+        self.heap_id_len = struct.unpack("<H", hdr[5:7])[0]
+        io_filter_len = struct.unpack("<H", hdr[7:9])[0]
+        if io_filter_len:
+            raise ValueError("Filtered fractal heaps not supported")
+        self.flags = hdr[9]
+        (self.table_width,) = struct.unpack("<H", hdr[110:112])
+        (self.start_size, self.max_dblk_size) = struct.unpack(
+            "<QQ", hdr[112:128])
+        (self.max_heap_bits, _start_rows) = struct.unpack(
+            "<HH", hdr[128:132])
+        (self.root_addr,) = struct.unpack("<Q", hdr[132:140])
+        (self.cur_root_rows,) = struct.unpack("<H", hdr[140:142])
+        self.off_size = (self.max_heap_bits + 7) // 8
+        self.len_size = self.heap_id_len - 1 - self.off_size
+        if self.len_size < 1:
+            raise ValueError("Bad fractal heap ID geometry")
+        self.max_direct_rows = (
+            (self.max_dblk_size.bit_length()
+             - self.start_size.bit_length()) + 2)
+        # row -> list of direct block addresses (lazy, via indirects)
+        self._rows: Dict[int, List[int]] = {}
+
+    def _row_geometry(self, row: int) -> Tuple[int, int]:
+        """(start_offset, block_size) of a doubling-table row."""
+        W, S = self.table_width, self.start_size
+        if row == 0:
+            return 0, S
+        return W * S * (1 << (row - 1)), S * (1 << max(0, row - 1))
+
+    def _load_root(self):
+        if self._rows:
+            return
+        if self.cur_root_rows == 0:
+            # root IS a single direct block (row 0, col 0)
+            self._rows[0] = [self.root_addr]
+            return
+        nrows = self.cur_root_rows
+        if nrows > self.max_direct_rows:
+            raise ValueError("Nested indirect fractal heap blocks "
+                             "not supported")
+        prefix = 4 + 1 + 8 + self.off_size
+        blob = self.f._pread(self.root_addr,
+                             prefix + nrows * self.table_width * 8 + 4)
+        if blob[:4] != b"FHIB":
+            raise ValueError("Bad fractal heap indirect block")
+        pos = prefix
+        for row in range(nrows):
+            addrs = []
+            for _ in range(self.table_width):
+                addrs.append(struct.unpack("<Q", blob[pos:pos + 8])[0])
+                pos += 8
+            self._rows[row] = addrs
+
+    def get(self, heap_id: bytes) -> bytes:
+        """Object bytes for a managed heap ID."""
+        idtype = (heap_id[0] >> 4) & 0x03
+        if idtype != 0:
+            raise ValueError(f"Non-managed fractal heap ID type {idtype}")
+        off = int.from_bytes(heap_id[1:1 + self.off_size], "little")
+        length = int.from_bytes(
+            heap_id[1 + self.off_size:1 + self.off_size + self.len_size],
+            "little")
+        self._load_root()
+        W, S = self.table_width, self.start_size
+        if off < W * S:
+            row, bsize, rstart = 0, S, 0
+            col = off // S
+        else:
+            row = (off // (W * S)).bit_length()  # floor(log2)+1
+            rstart, bsize = self._row_geometry(row)
+            col = (off - rstart) // bsize
+        addrs = self._rows.get(row)
+        if addrs is None or col >= len(addrs) or addrs[col] == UNDEF:
+            raise ValueError("Fractal heap object block missing")
+        within = off - (rstart + col * bsize)
+        blob = self.f._pread(addrs[col] + within, length)
+        return blob
 
 
 # ===========================================================================

@@ -332,3 +332,48 @@ class TestLatestFormat:
             np.testing.assert_array_equal(f.variables["ea"].read(), a)
             assert f.variables["fa"].chunk_index[0] == "fixed"
             np.testing.assert_array_equal(f.variables["fa"].read(), b)
+
+    def test_dense_links_and_attributes(self, tmp_path):
+        """Groups with >8 links and objects with many attributes switch
+        to DENSE storage under libver="latest" (fractal heap + name-index
+        v2 B-trees) — the layout netcdf-c emits for many-variable files
+        in the newer formats."""
+        import h5py
+        from hyperres.io.hdf5 import HDF5File
+        p = tmp_path / "dense.h5"
+        with h5py.File(p, "w", libver="latest") as f:
+            g = f.create_group("many")
+            for i in range(120):
+                g.create_dataset(f"variable_with_a_long_name_{i:04d}",
+                                 data=np.array([i, i * 2], dtype="i8"))
+            sub = g.create_group("nested")
+            for i in range(20):
+                sub.create_dataset(f"n{i:03d}", data=np.float32(i))
+            d = f.create_dataset("attrs_heavy", data=np.zeros(2, "f4"))
+            for i in range(60):
+                d.attrs[f"attribute_number_{i:04d}"] = f"value-{i}"
+        with HDF5File(p) as f:
+            g = f.groups["many"]
+            assert len(g.variables) == 120
+            for i in (0, 7, 63, 119):
+                np.testing.assert_array_equal(
+                    g.variables[f"variable_with_a_long_name_{i:04d}"]
+                    .read(), np.array([i, i * 2], dtype="i8"))
+            assert len(g.groups["nested"].variables) == 20
+            d = f.variables["attrs_heavy"]
+            assert len(d.attrs) == 60
+            assert all(d.attrs[f"attribute_number_{i:04d}"] == f"value-{i}"
+                       for i in range(60))
+
+    def test_dense_root_group_links(self, tmp_path):
+        import h5py
+        from hyperres.io.hdf5 import HDF5File
+        p = tmp_path / "dense_root.h5"
+        with h5py.File(p, "w", libver="latest") as f:
+            for i in range(30):
+                f.create_dataset(f"v{i:02d}",
+                                 data=np.arange(4, dtype=np.int32) + i)
+        with HDF5File(p) as f:
+            assert len(f.variables) == 30
+            np.testing.assert_array_equal(
+                f.variables["v29"].read(), np.arange(4) + 29)
