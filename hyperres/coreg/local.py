@@ -88,9 +88,13 @@ def ransac_affine_filter(tps: List[TiePoint], thresh_px: float = 3.0,
 def _tie_point_grid(h: int, w: int, grid_res: float, win: Tuple[int, int],
                     max_points: Optional[int]) -> List[Tuple[int, int]]:
     wy, wx = win
-    step = int(grid_res)
-    rows = np.arange(wy // 2, h - wy // 2, step, dtype=int)
-    cols = np.arange(wx // 2, w - wx // 2, step, dtype=int)
+    step = float(grid_res)
+    if step <= 0:
+        raise ValueError(f"grid_res must be > 0, got {grid_res}")
+    rows = np.unique(np.arange(wy // 2, h - wy // 2, step).round()
+                     .astype(int))
+    cols = np.unique(np.arange(wx // 2, w - wx // 2, step).round()
+                     .astype(int))
     pts = [(int(r), int(c)) for r in rows for c in cols]
     if max_points is not None and len(pts) > max_points:
         idx = np.linspace(0, len(pts) - 1, max_points).round().astype(int)
@@ -299,15 +303,30 @@ def shift_field(result: CoregResult, shape_hw,
             dy = dy + resid[..., 0]
             dx = dx + resid[..., 1]
         else:
-            d2 = ((rr[..., None] - pr) ** 2 + (cc[..., None] - pc) ** 2)
-            if idw_radius is not None:
-                wgt = np.where(d2 <= idw_radius ** 2,
-                               1.0 / (d2 ** (idw_power / 2.0) + 1.0), 0.0)
-            else:
-                wgt = 1.0 / (d2 ** (idw_power / 2.0) + 1.0)
-            wsum = wgt.sum(-1) + 1e-12
-            dy = dy + (wgt * res_y).sum(-1) / wsum
-            dx = dx + (wgt * res_x).sum(-1) / wsum
+            # chunked evaluation: the (pixels, n_tiepoints) distance
+            # temp is bounded (~chunk*n*4 B) — an unchunked granule-
+            # scale grid (1e8 px x 500 points) would need hundreds of
+            # GB (the TPS path bounds its temp the same way)
+            rf = rr.reshape(-1)
+            cf = cc.reshape(-1)
+            ry = np.zeros(rf.shape[0], dtype=np.float32)
+            rx = np.zeros(rf.shape[0], dtype=np.float32)
+            chunk = max(1, (1 << 22) // max(1, len(used)))
+            for s in range(0, rf.shape[0], chunk):
+                e = min(s + chunk, rf.shape[0])
+                d2 = ((rf[s:e, None] - pr) ** 2
+                      + (cf[s:e, None] - pc) ** 2)
+                if idw_radius is not None:
+                    wgt = np.where(d2 <= idw_radius ** 2,
+                                   1.0 / (d2 ** (idw_power / 2.0) + 1.0),
+                                   0.0)
+                else:
+                    wgt = 1.0 / (d2 ** (idw_power / 2.0) + 1.0)
+                wsum = wgt.sum(-1) + 1e-12
+                ry[s:e] = (wgt * res_y).sum(-1) / wsum
+                rx[s:e] = (wgt * res_x).sum(-1) / wsum
+            dy = dy + ry.reshape(h, w)
+            dx = dx + rx.reshape(h, w)
     return dy.astype(np.float32), dx.astype(np.float32)
 
 
@@ -325,12 +344,14 @@ def deshift(
     local, non-affine deshift) interpolated by ``residual_mode``
     ("idw" or "tps"). tgt_stack (B, H, W) -> (B, H, W)."""
     b, h, w = tgt_stack.shape
-    rr, cc = np.meshgrid(np.arange(h, dtype=np.float32),
-                         np.arange(w, dtype=np.float32), indexing="ij")
     dy, dx = shift_field(result, (h, w), local_residuals=local_residuals,
                          mode=residual_mode)
-    rows = rr + dy
-    cols = cc + dx
+    # reuse the shift planes as the sampling field (broadcast aranges
+    # instead of a second pair of full (H, W) meshgrid planes)
+    rows = dy
+    rows += np.arange(h, dtype=np.float32)[:, None]
+    cols = dx
+    cols += np.arange(w, dtype=np.float32)[None, :]
     hwb = np.moveaxis(tgt_stack, 0, -1).astype(np.float32)
     out = warp_interpolate(
         jnp.asarray(hwb), jnp.asarray(rows), jnp.asarray(cols),

@@ -91,6 +91,16 @@ def scanline_cstar(rows: np.ndarray, cols: np.ndarray,
     hd, wd = rows.shape
     m = np.arange(src_h, dtype=np.float64)
     cstar = np.empty((src_h, wd), dtype=np.float64)
+    # np.interp silently returns garbage for unsorted xp — reject
+    # non-monotone preimage curves loudly (direct callers like the
+    # ortho pipeline have no other monotonicity gate)
+    diffs = np.diff(rows, axis=0)
+    if hd >= 2 and not (np.all(diffs >= -1e-9, axis=0)
+                        | np.all(diffs <= 1e-9, axis=0)).all():
+        raise ValueError(
+            "scanline_cstar: dst->src row field is not monotone along "
+            "destination columns; the two-pass scanline warp cannot "
+            "represent this geometry — use the taploop warp kernel")
     for j in range(wd):
         rj, cj = rows[:, j], cols[:, j]
         if hd >= 2 and rj[0] > rj[-1]:
@@ -123,7 +133,9 @@ def warp_nearest(img: jax.Array, rows: jax.Array, cols: jax.Array,
     out = _gather2d(img, jnp.clip(ri, 0, h - 1), jnp.clip(ci, 0, w - 1))
     bad = ~inside[..., None]
     if nodata is not None:
-        bad = bad | (out == nodata)
+        # non-finite sources are invalid too (package-wide nodata
+        # contract, same as warp_interpolate / block_average)
+        bad = bad | (out == nodata) | ~jnp.isfinite(out)
     return jnp.where(bad, jnp.asarray(fill, out.dtype), out)
 
 
@@ -303,8 +315,14 @@ def separable_resample_matmul(img: jax.Array, Wr: jax.Array, Wc: jax.Array,
 
     if valid_mask is not None:
         ok = valid_mask[..., None]
+        if nodata is not None:
+            # both given: the shared mask AND the per-band sentinel
+            # screen apply (den becomes per-band again)
+            ok = ok & (img != nodata) & jnp.isfinite(img)
+            den = mm(ok.astype(jnp.float32))
+        else:
+            den = mm(valid_mask.astype(jnp.float32)[..., None])
         num = mm(jnp.where(ok, img, 0.0))
-        den = mm(valid_mask.astype(jnp.float32)[..., None])
     elif nodata is not None:
         ok = (img != nodata) & jnp.isfinite(img)
         num = mm(jnp.where(ok, img, 0.0))
@@ -578,7 +596,6 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
     raw_flat = raw.reshape(-1, b)
     ho, wo = glt_flat_idx.shape
     hd, wd = rows.shape
-    be = b + 1
     prec = {"highest": jax.lax.Precision.HIGHEST,
             "high": jax.lax.Precision.HIGH,
             "default": jax.lax.Precision.DEFAULT}[precision]
@@ -813,12 +830,31 @@ def resample_to_grid(
         if f is not None:
             ox = int(round((dst_grid.x0 - src_grid.x0) / src_grid.dx))
             oy = int(round((src_grid.y0 - dst_grid.y0) / src_grid.dy))
-            sub = arr[oy:oy + dst_grid.height * f,
-                      ox:ox + dst_grid.width * f, :]
-            out = block_average(sub, f, nodata=nodata, fill=fill)
+            # the exact block reduction needs the dst window fully
+            # inside the source; otherwise a negative/overflowing slice
+            # would silently misplace or truncate the output
+            if (0 <= oy and oy + dst_grid.height * f <= arr.shape[0]
+                    and 0 <= ox and ox + dst_grid.width * f <= arr.shape[1]):
+                sub = arr[oy:oy + dst_grid.height * f,
+                          ox:ox + dst_grid.width * f, :]
+                out = block_average(sub, f, nodata=nodata, fill=fill)
+                out = np.asarray(out)
+                return out[..., 0] if squeeze else out
+        sep_avg = separable_index_axes(src_grid, dst_grid)
+        if sep_avg is not None:
+            # same-CRS non-integer / non-contained case: area-weighted
+            # separable matmul (the documented GDAL 'average' semantics)
+            Wr = jnp.asarray(separable_weight_matrix(
+                sep_avg[0], src_grid.height, "average",
+                scale=dst_grid.dy / src_grid.dy))
+            Wc = jnp.asarray(separable_weight_matrix(
+                sep_avg[1], src_grid.width, "average",
+                scale=dst_grid.dx / src_grid.dx))
+            out = separable_resample_matmul(arr, Wr, Wc, nodata=nodata,
+                                            fill=fill, fast=False)
             out = np.asarray(out)
             return out[..., 0] if squeeze else out
-        method_eff = "bilinear"  # non-aligned grids: bilinear transfer
+        method_eff = "bilinear"  # cross-CRS average: bilinear transfer
     else:
         method_eff = method
 
