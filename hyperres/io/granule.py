@@ -52,18 +52,37 @@ class EmitGranule:
 
         self.product: Optional[str] = None
         self.data_var: Optional[str] = None
+        self._data = None
         for var, product in (("radiance", "L1B_RDN"),
-                             ("reflectance", "L2A_RFL")):
+                             ("reflectance", "L2A_RFL"),
+                             ("obs", "L1B_OBS")):
             if var in root.datasets:
                 self.data_var = var
                 self.product = product
+                self._data = root.datasets[var]
                 break
-        if self.data_var is None:
+        if self._data is None:
+            # reference fallback (emit_proj.py:52-61): the first 3-D
+            # variable in root or a first-level group (real OBS/LOC
+            # products name their cube after the product)
+            for name, ds in root.datasets.items():
+                if len(ds.shape) == 3:
+                    self.data_var, self.product, self._data = (
+                        name, name.upper(), ds)
+                    break
+            else:
+                for grp in root.groups.values():
+                    for name, ds in grp.datasets.items():
+                        if len(ds.shape) == 3:
+                            self.data_var, self.product, self._data = (
+                                name, name.upper(), ds)
+                            break
+                    if self._data is not None:
+                        break
+        if self._data is None:
             raise ValueError(
-                "Unrecognized EMIT granule (expected 'radiance' or "
-                f"'reflectance' variable): {self.path}")
-
-        self._data = root.datasets[self.data_var]
+                "Unrecognized EMIT granule (no 'radiance'/'reflectance'/"
+                f"'obs' or other 3-D variable): {self.path}")
         dims = self._data.attrs.get("dimensions")
         if isinstance(dims, str):
             dims = dims.replace(",", " ").split()
@@ -81,19 +100,40 @@ class EmitGranule:
             self.raw_height, self.raw_width = int(shape[0]), int(shape[1])
         self.n_bands = int(shape[2]) if len(shape) > 2 else 1
 
-        sbp = root.groups["sensor_band_parameters"]
-        wl = np.asarray(sbp.datasets["wavelengths"].read(), dtype=np.float64)
-        units = str(sbp.datasets["wavelengths"].attrs.get("units", "")).lower()
-        if units in ("micrometers", "um", "µm") or (units == "" and wl.max() < 100.0):
-            wl = wl * 1000.0  # micrometre heuristic (EMIT_utils.py:145-146)
-        self.wavelengths = wl
-        self.fwhm = (np.asarray(sbp.datasets["fwhm"].read(), dtype=np.float64)
-                     if "fwhm" in sbp.datasets else None)
-        if "good_wavelengths" in sbp.datasets:
-            self.good_wavelengths = (
-                np.asarray(sbp.datasets["good_wavelengths"].read()) > 0)
-        else:
-            self.good_wavelengths = None
+        # sensor_band_parameters: spectral products carry wavelengths;
+        # OBS granules carry observation_bands (string names) instead
+        sbp = root.groups.get("sensor_band_parameters")
+        self.wavelengths: Optional[np.ndarray] = None
+        self.fwhm = None
+        self.good_wavelengths = None
+        self.band_names = None
+        if sbp is not None:
+            if "wavelengths" in sbp.datasets:
+                wl = np.asarray(sbp.datasets["wavelengths"].read(),
+                                dtype=np.float64)
+                units = str(sbp.datasets["wavelengths"].attrs.get(
+                    "units", "")).lower()
+                if units in ("micrometers", "um", "µm") or (
+                        units == "" and wl.max() < 100.0):
+                    # micrometre heuristic (EMIT_utils.py:145-146)
+                    wl = wl * 1000.0
+                self.wavelengths = wl
+            if "fwhm" in sbp.datasets:
+                self.fwhm = np.asarray(sbp.datasets["fwhm"].read(),
+                                       dtype=np.float64)
+            if "good_wavelengths" in sbp.datasets:
+                self.good_wavelengths = (
+                    np.asarray(sbp.datasets["good_wavelengths"].read()) > 0)
+            if "observation_bands" in sbp.datasets:
+                bn = sbp.datasets["observation_bands"].read()
+                self.band_names = [
+                    b.decode() if isinstance(b, bytes) else str(b)
+                    for b in np.ravel(bn)]
+        if self.wavelengths is None and self.product in (
+                "L1B_RDN", "L2A_RFL"):
+            raise ValueError(
+                f"{self.product} granule without sensor_band_parameters/"
+                f"wavelengths: {self.path}")
 
         # geotransform (root attribute, array of 6 doubles)
         gt = np.asarray(self.attr("geotransform"), dtype=np.float64)
@@ -241,6 +281,11 @@ def apply_glt(ds_array: np.ndarray, glt_array: np.ndarray,
     valid = np.all(glt_array != glt_nodata_value, axis=-1)
     glt0 = glt_array.copy()
     glt0[valid] -= 1
+    # drop out-of-bounds entries (real granules contain them — the same
+    # mask prepare_glt applies; emit_proj.py:691-703)
+    h, w = ds_array.shape[:2]
+    valid &= ((glt0[..., 1] >= 0) & (glt0[..., 1] < h)
+              & (glt0[..., 0] >= 0) & (glt0[..., 0] < w))
     out[valid, :] = ds_array[glt0[valid, 1], glt0[valid, 0], :]
     return out
 

@@ -35,28 +35,57 @@ class PrefetchToDevice:
         self.transform = transform
         self._q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when the consumer is gone — a
+        consumer that exits early (break / exception in its loop body)
+        must not leave the loader blocked forever on a full queue,
+        pinning in-flight buffers and the open source."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _worker(self):
         try:
             for item in self.source:
+                if self._stop.is_set():
+                    return
                 if self.transform is not None:
                     item = self.transform(item)
                 placed = jax.device_put(item, self.device)
-                self._q.put(placed)
-            self._q.put(self._SENTINEL)
+                if not self._put(placed):
+                    return
+            self._put(self._SENTINEL)
         except BaseException as e:  # noqa: BLE001 - reraised at consumer
-            self._q.put(e)
+            self._put(e)
+        finally:
+            close = getattr(self.source, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
 
     def __iter__(self) -> Iterator[Any]:
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
-        while True:
-            item = self._q.get()
-            if item is self._SENTINEL:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = self._q.get()
+                if item is self._SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # normal exhaustion or early consumer exit: release the
+            # loader (GeneratorExit lands here when the caller breaks)
+            self._stop.set()
 
 
 def band_chunk_reader(dataset_read: Callable[[int, int], np.ndarray],

@@ -498,7 +498,13 @@ class HttpRangeSource:
         r = requests.get(url, headers={"Range": f"bytes={start}-{end}"},
                          timeout=120)
         r.raise_for_status()
-        return r.content
+        content = r.content
+        if r.status_code == 200 and len(content) > end - start + 1:
+            # server ignored the Range header and sent the full body —
+            # slice locally instead of caching the file head as an
+            # arbitrary block (silent offset corruption otherwise)
+            return content[start:end + 1]
+        return content
 
     def _block(self, idx: int) -> bytes:
         if idx not in self._cache:

@@ -109,9 +109,12 @@ def pallas_quantize_u16(
         vp = jnp.zeros((n_pad, c_pad), jnp.float32).at[:n, :c].set(
             valid.astype(jnp.float32))
     scale = 65535.0 / (hi - lo + 1e-32)
+    # reserved sentinel code (same contract as kernels.stats.quantize_u16)
+    q_lo = 1.0 if nodata_u16 == 0 else 0.0
+    q_hi = 65534.0 if nodata_u16 == 65535 else 65535.0
 
     def kernel(x_ref, v_ref, o_ref):
-        q = jnp.clip(jnp.rint((x_ref[:] - lo) * scale), 0.0, 65535.0)
+        q = jnp.clip(jnp.rint((x_ref[:] - lo) * scale), q_lo, q_hi)
         # Mosaic has no direct f32->u16 cast; go through int32
         q16 = q.astype(jnp.int32).astype(jnp.uint16)
         o_ref[:] = jnp.where(v_ref[:] > 0.0, q16, jnp.uint16(nodata_u16))

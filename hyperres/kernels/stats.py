@@ -134,9 +134,14 @@ def quantize_u16(x: jax.Array, lo: jax.Array, hi: jax.Array,
                  valid: jax.Array, nodata_u16: int = 0) -> jax.Array:
     """Scale [lo, hi] -> [0, 65535] uint16 with a nodata sentinel —
     gdal_translate -scale semantics (emit_proj.py:413-427). lo/hi may be
-    scalars or per-band (B,) for (..., B) input."""
+    scalars or per-band (B,) for (..., B) input. The sentinel code is
+    RESERVED: valid pixels clipping to it are nudged one step inward
+    (with lo at a p1 percentile, ~1% of valid pixels sit at/below lo and
+    would otherwise decode as nodata)."""
     scaled = (x - lo) / (hi - lo + 1e-32) * 65535.0
-    q = jnp.clip(jnp.rint(scaled), 0.0, 65535.0).astype(jnp.uint16)
+    q_lo = 1.0 if nodata_u16 == 0 else 0.0
+    q_hi = 65534.0 if nodata_u16 == 65535 else 65535.0
+    q = jnp.clip(jnp.rint(scaled), q_lo, q_hi).astype(jnp.uint16)
     return jnp.where(valid, q, jnp.asarray(nodata_u16, dtype=jnp.uint16))
 
 

@@ -160,6 +160,7 @@ def orthorectify_granule(
     obs_utm = out_dir / f"{tag}_OBS.bin"
     obs_hdr = obs_utm.with_suffix(".hdr")
 
+    export_loc = export_loc or cfg.export_loc
     need_data = cfg.overwrite or not (data_utm.exists() and data_hdr.exists())
     need_loc = export_loc and (cfg.overwrite
                                or not (loc_utm.exists() and loc_hdr.exists()))
@@ -218,7 +219,8 @@ def orthorectify_granule(
             info["outputs"]["obs_envi_bin"] = str(obs_utm)
         info["skipped"] = True
         _save_info(info, save_info_path)
-        wavelengths = np.asarray(g.wavelengths)
+        wavelengths = (np.asarray(g.wavelengths)
+                       if g.wavelengths is not None else None)
         good_mask = g.good_wavelengths
         grid = s2_anchored_target_grid(g.ortho_grid, s2_grid,
                                        cfg.target_res_m, cfg.target_res_m)
@@ -229,12 +231,15 @@ def orthorectify_granule(
     # --- GLT preparation (host) ---
     t0 = time.perf_counter()
     flat_idx, valid = prepare_glt(g.glt, (g.raw_height, g.raw_width))
-    glt0, valid2, diag = g.glt_indices()
+    # diag counts straight from prepare_glt's masks (glt_indices would
+    # redo the same full-raster conversion+bounds pass)
+    n_nonzero = int(np.count_nonzero(np.all(g.glt != 0, axis=-1)))
+    n_inbounds = int(np.count_nonzero(valid))
     info["glt_diag"] = {
-        "raw_shape_yx": list(diag.raw_shape_yx),
-        "valid_glt_count": diag.valid_count,
-        "valid_glt_inbounds_count": diag.in_bounds_count,
-        "valid_glt_dropped_oob": diag.dropped_oob,
+        "raw_shape_yx": [g.raw_height, g.raw_width],
+        "valid_glt_count": n_nonzero,
+        "valid_glt_inbounds_count": n_inbounds,
+        "valid_glt_dropped_oob": n_nonzero - n_inbounds,
     }
     flat_j = jnp.asarray(flat_idx)
     valid_j = jnp.asarray(valid)
@@ -399,7 +404,9 @@ def orthorectify_granule(
             geotiff_dir.mkdir(parents=True, exist_ok=True)
             t = time.perf_counter()
             utm_tif = geotiff_dir / f"{tag}_DATA_warp_utm.tif"
-            rec = products.export_reflectance_u16(utm_cube, utm_grid, utm_tif)
+            rec = products.export_reflectance_u16(
+                utm_cube, utm_grid, utm_tif,
+                scale_range=cfg.reflectance_scale)
             timer.record("data_utm_tif", t, **rec)
             info["outputs"]["data_utm_tif"] = str(utm_tif)
             info["rasters"]["data_utm_tif"] = raster_meta(
@@ -412,7 +419,8 @@ def orthorectify_granule(
             diag_tif = diag_dir / (
                 f"{tag}_DATA_diag_band{diag_band:03d}_warp_utm.tif")
             products.export_reflectance_u16(
-                utm_cube[..., diag_band:diag_band + 1], utm_grid, diag_tif)
+                utm_cube[..., diag_band:diag_band + 1], utm_grid, diag_tif,
+                scale_range=cfg.reflectance_scale)
             timer.record("data_diag_tif", t)
             info["outputs"]["data_diag_utm_tif"] = str(diag_tif)
 
@@ -462,10 +470,14 @@ def orthorectify_granule(
     # ===== OBS =====
     if need_obs:
         try:
-            obs_g = EmitGranule(obs_file)
-            obs_raw = obs_g.read_cube()
+            with EmitGranule(obs_file) as obs_g:
+                obs_raw = obs_g.read_cube()
+                obs_names = obs_g.band_names
             nb = obs_raw.shape[-1]
-            names = OBS_BAND_NAMES[:nb]
+            # band names from the granule's observation_bands when
+            # present (the real L1B_OBS metadata), canonical fallback
+            names = (list(obs_names)[:nb] if obs_names
+                     else OBS_BAND_NAMES[:nb])
             obs_cube, _ = _export_product(obs_raw, "obs", obs_utm, {
                 "description": "EMIT OBS geometry bands",
                 "band names": names,
@@ -485,7 +497,8 @@ def orthorectify_granule(
         except Exception as e:  # record-and-continue (emit_proj.py:1196-1201)
             info["obs_error"] = str(e)
 
-    wavelengths = np.asarray(g.wavelengths)
+    wavelengths = (np.asarray(g.wavelengths)
+                   if g.wavelengths is not None else None)
     good_mask = g.good_wavelengths
     g.close()
     _save_info(info, save_info_path)
@@ -516,6 +529,11 @@ def convert_granules(
     failures, return [(path_or_None, info_dict), ...]."""
     results = []
     obs_files = obs_files or [None] * len(img_files)
+    if len(obs_files) != len(img_files):
+        raise ValueError(
+            f"obs_files has {len(obs_files)} entries for "
+            f"{len(img_files)} granules (pad with None for granules "
+            "without an OBS file)")
     for img, obs in zip(img_files, obs_files):
         try:
             res = orthorectify_granule(

@@ -32,26 +32,36 @@ def export_reflectance_u16(
     grid: Grid,
     dst_tif: Path,
     *,
+    scale_range: Tuple[float, float] = (0.0, 1.0),
     nodata_src: float = -9999.0,
     nodata_u16: int = 65535,
     zlevel: int = 1,
 ) -> Dict:
-    """0..1 reflectance -> uint16 0..10000 GeoTIFF (deflate, predictor 2),
-    with the reference's decode metadata tags (emit_proj.py:265-270)."""
+    """[lo, hi] reflectance -> uint16 0..10000 GeoTIFF (deflate,
+    predictor 2) with the reference's decode metadata tags
+    (gdal_translate -scale lo hi 0 10000; emit_proj.py:265-270)."""
+    lo, hi = float(scale_range[0]), float(scale_range[1])
+    if hi <= lo:
+        raise ValueError(f"Bad reflectance scale range {scale_range}")
     valid = _valid_mask(cube_hwb, nodata_src)
+    # quantize_u16 maps [lo, hi_eff] -> [0, 65535]; choosing
+    # hi_eff = lo + (hi - lo) * 65535/10000 sends x = hi to code 10000,
+    # i.e. gdal_translate -scale lo hi 0 10000
+    hi_eff = lo + (hi - lo) * 65535.0 / 10000.0
     q = np.asarray(quantize_u16(
-        jnp.asarray(cube_hwb, jnp.float32), 0.0, 1.0 / (10000.0 / 65535.0),
+        jnp.asarray(cube_hwb, jnp.float32), lo, hi_eff,
         jnp.asarray(valid), nodata_u16=nodata_u16))
-    # quantize_u16 maps [0, hi] -> [0, 65535]; choosing hi = 65535/10000
-    # makes value 1.0 -> 10000, i.e. gdal_translate -scale 0 1 0 10000.
+    scale_factor = (hi - lo) / 10000.0
     write_geotiff(
         dst_tif, np.moveaxis(q, -1, 0), grid, nodata=nodata_u16,
         compress="deflate", zlevel=zlevel, predictor=2, tiled=True,
-        tags={"scale_factor": "0.0001", "units": "reflectance",
+        tags={"scale_factor": f"{scale_factor:.16g}",
+              "add_offset": f"{lo:.16g}",
+              "units": "reflectance",
               "uint16_nodata": str(int(nodata_u16))})
     return {
         "dst": str(dst_tif),
-        "scale": [0.0, 1.0, 0, 10000],
+        "scale": [lo, hi, 0, 10000],
         "nodata_uint16": int(nodata_u16),
     }
 

@@ -61,7 +61,13 @@ def spatial_subset(granule: EmitGranule,
     sub_glt[..., 0] = np.where(ok, gx2, 0)
     sub_glt[..., 1] = np.where(ok, gy2, 0)
 
-    data = granule.read_cube()[row0:row1, col0:col1, :]
+    # band-chunked read + per-slab window slice: never materialize the
+    # full raw cube on the host (~3.4 GB for a real 285-band granule)
+    slabs = []
+    for b0 in range(0, granule.n_bands, 32):
+        slab = granule.read_bands(b0, min(b0 + 32, granule.n_bands))
+        slabs.append(slab[row0:row1, col0:col1, :])
+    data = np.concatenate(slabs, axis=-1)
     from dataclasses import replace
     sub_grid = replace(og,
                        x0=og.x0 + oc0 * og.dx,

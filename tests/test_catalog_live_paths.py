@@ -70,6 +70,13 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(self.payload)))
             self.end_headers()
             self.wfile.write(self.payload)
+        elif u.path == "/noranged.bin":
+            # server that IGNORES the Range header (200 + full body)
+            blob = self.server.ranged_blob
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(blob)))
+            self.end_headers()
+            self.wfile.write(blob)
         elif u.path == "/ranged.bin":
             rng = self.headers.get("Range", "")
             start, end = rng.split("=")[1].split("-")
@@ -221,3 +228,14 @@ def test_download_failure_wrapped(live_server, tmp_path):
     base, _ = live_server
     with pytest.raises(CatalogUnavailableError):
         _default_download(f"{base}/missing", tmp_path / "x.bin")
+
+
+def test_http_range_source_server_ignores_range(live_server):
+    """A server that answers 200 with the full body instead of 206 must
+    not poison the block cache with wrongly-offset bytes."""
+    base, srv = live_server
+    from hyperres.io.tiff import HttpRangeSource
+    src = HttpRangeSource(f"{base}/noranged.bin", block_size=1 << 16)
+    blob = srv.ranged_blob
+    assert src.pread(100_000, 32) == blob[100_000:100_032]
+    assert src.pread(0, 8) == blob[:8]

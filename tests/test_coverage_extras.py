@@ -110,3 +110,68 @@ def test_open_hdf5_helper(tmp_path, rng):
     w.save()
     with open_hdf5(tmp_path / "x.h5") as f:
         np.testing.assert_array_equal(f.variables["d"].read(), data)
+
+
+def test_quantize_u16_reserves_nodata_code(rng):
+    """Valid pixels at/below lo (p1-percentile bound) must not collide
+    with the nodata sentinel code (they'd silently decode as missing)."""
+    import jax.numpy as jnp
+    from hyperres.kernels.stats import quantize_u16
+    x = jnp.asarray(np.array([-5.0, 0.0, 50.0, 200.0], np.float32))
+    valid = jnp.asarray(np.array([True, True, True, True]))
+    q0 = np.asarray(quantize_u16(x, 0.0, 100.0, valid, nodata_u16=0))
+    assert q0.min() >= 1  # code 0 reserved for nodata
+    assert q0[3] == 65535
+    q1 = np.asarray(quantize_u16(x, 0.0, 100.0, valid, nodata_u16=65535))
+    assert q1.max() <= 65534  # code 65535 reserved
+    assert q1[0] == 0
+    # invalid pixels land exactly on the sentinel
+    q2 = np.asarray(quantize_u16(x, 0.0, 100.0,
+                                 jnp.asarray(np.array([False] * 4)),
+                                 nodata_u16=0))
+    assert (q2 == 0).all()
+
+
+def test_apply_glt_drops_out_of_bounds(rng):
+    """GLT entries pointing past the raw swath are dropped like the
+    device path's prepare_glt, not allowed to IndexError
+    (emit_proj.py:691-703)."""
+    from hyperres.io.granule import apply_glt
+    raw = rng.random((4, 5, 2)).astype(np.float32)
+    glt = np.zeros((3, 3, 2), np.int32)
+    glt[0, 0] = (1, 1)       # valid -> raw[0, 0]
+    glt[1, 1] = (5, 4)       # valid -> raw[3, 4]
+    glt[2, 2] = (6, 9)       # OUT OF BOUNDS -> dropped
+    out = apply_glt(raw, glt, fill_value=-1.0)
+    np.testing.assert_allclose(out[0, 0], raw[0, 0])
+    np.testing.assert_allclose(out[1, 1], raw[3, 4])
+    assert (out[2, 2] == -1.0).all()
+    assert (out[0, 1] == -1.0).all()
+
+
+def test_prefetch_releases_loader_on_early_exit():
+    """A consumer that stops early must not leave the loader thread
+    blocked on the bounded queue (it pins buffers + the open source)."""
+    import threading
+    import time as _time
+    from hyperres.io.pipeline import PrefetchToDevice
+
+    closed = {"v": False}
+
+    class Source:
+        def __iter__(self):
+            for i in range(100):
+                yield np.full((8,), i, np.float32)
+
+        def close(self):
+            closed["v"] = True
+
+    pf = PrefetchToDevice(Source(), depth=2)
+    for i, item in enumerate(pf):
+        if i == 1:
+            break
+    t0 = _time.time()
+    while pf._thread.is_alive() and _time.time() - t0 < 5.0:
+        _time.sleep(0.05)
+    assert not pf._thread.is_alive(), "loader thread still blocked"
+    assert closed["v"], "source not closed on early exit"

@@ -151,11 +151,12 @@ def test_loc_geotiff_decode_roundtrip(result, scene):
 
 
 def test_obs_export_branch(scene, tmp_path, rng):
-    """OBS granule export: 11 geometry bands orthorectified, warped, and
-    quantized with per-band robust ranges (emit_proj.py:1191-1280)."""
+    """OBS granule export with the REAL L1B_OBS file structure: the cube
+    lives in an 'obs' variable (not radiance/reflectance), band names in
+    sensor_band_parameters/observation_bands, and NO wavelengths
+    (emit_proj.py:29-115, 1191-1280)."""
     from hyperres.io.hdf5 import HDF5Writer
     from hyperres.io.granule import EmitGranule
-    from hyperres.ortho import OBS_BAND_NAMES
 
     # fabricate an OBS granule sharing the scene's GLT/geometry
     with EmitGranule(scene.emit_nc_path) as g:
@@ -164,20 +165,26 @@ def test_obs_export_branch(scene, tmp_path, rng):
         glt_y = g.glt[..., 1].astype(np.float64)
         gt = np.array(g.geotransform)
     nb = 11
+    names = [f"Geometry band {i}" for i in range(nb)]
     obs = np.stack([np.full((h, w), 100.0 * (i + 1))
                     + rng.normal(size=(h, w))
                     for i in range(nb)], axis=-1).astype(np.float32)
     wgr = HDF5Writer(tmp_path / "obs.nc")
-    wgr.create_dataset("/radiance", obs)  # OBS files expose 11 bands
+    wgr.create_dataset("/obs", obs)
     wgr.create_group("/sensor_band_parameters")
-    wgr.create_dataset("/sensor_band_parameters/wavelengths",
-                       np.arange(nb, dtype=np.float32) + 1.0,
-                       attrs={"units": "nanometers"})
+    wgr.create_dataset("/sensor_band_parameters/observation_bands",
+                       np.array([n.encode() for n in names], dtype="S32"))
     wgr.create_group("/location")
     wgr.create_dataset("/location/glt_x", glt_x)
     wgr.create_dataset("/location/glt_y", glt_y)
     wgr.set_attrs("/", geotransform=gt)
     wgr.save()
+
+    # the granule opens as an OBS product with its own band names
+    with EmitGranule(tmp_path / "obs.nc") as og:
+        assert og.product == "L1B_OBS"
+        assert og.wavelengths is None
+        assert og.band_names == names
 
     res = orthorectify_granule(
         scene.emit_nc_path, tmp_path / "obs_out", scene.s2_tif_path,
@@ -200,7 +207,8 @@ def test_obs_export_branch(scene, tmp_path, rng):
 
     with TiffReader(res.info["outputs"]["obs_utm_tif"]) as t:
         assert t.count == nb
-        assert t.descriptions[0] == OBS_BAND_NAMES[0]
+        # band names taken from the granule's observation_bands
+        assert t.descriptions[0] == names[0]
         q = t.read()
         # decode band 3 via its scale/offset tags
         s3 = float(t.band_tags[3]["scale"])
