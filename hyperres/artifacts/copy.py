@@ -61,6 +61,12 @@ def copy_any(
                     shutil.rmtree(target)
                 if not target.exists():
                     shutil.copytree(item, target)
+                else:
+                    # MERGE new files into an existing directory — the
+                    # rsync --ignore-existing semantics (re-archiving a
+                    # run after more tiles were produced must copy them)
+                    copy_any(item, target, overwrite=overwrite,
+                             use_rsync=False, exclude=exclude)
             else:
                 if target.exists() and not overwrite:
                     continue

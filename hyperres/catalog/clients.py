@@ -148,9 +148,15 @@ def granule_datetime(item: dict) -> Optional[dt.datetime]:
 
 
 def choose_nearest(items: List[dict], target: dt.datetime) -> Optional[dict]:
-    """Granule nearest in time (EMIT_utils.py:91-97)."""
-    dated = [(abs((granule_datetime(i) - target).total_seconds()), i)
-             for i in items if granule_datetime(i) is not None]
+    """Granule nearest in time (EMIT_utils.py:91-97). A tz-naive target
+    is treated as UTC (granule timestamps are tz-aware)."""
+    if target.tzinfo is None:
+        target = target.replace(tzinfo=dt.timezone.utc)
+    dated = []
+    for i in items:
+        d = granule_datetime(i)
+        if d is not None:
+            dated.append((abs((d - target).total_seconds()), i))
     if not dated:
         return None
     return min(dated, key=lambda t: t[0])[1]
@@ -209,15 +215,27 @@ class StacClient:
             body["datetime"] = datetime_range
         url = f"{self.api_url}/search"
         items: List[dict] = []
+        method = "POST"
         while url and len(items) < max_items:
-            doc = self.fetch_json(url, method="POST", body=body)
+            doc = self.fetch_json(url, method=method,
+                                  body=body if method == "POST" else None)
             items.extend(doc.get("features", []))
             next_link = next((l for l in doc.get("links", [])
                               if l.get("rel") == "next"), None)
             if next_link is None:
                 break
             url = next_link.get("href")
-            body = next_link.get("body", body)
+            method = str(next_link.get("method", "POST")).upper()
+            # STAC API pagination: merge=true means the link's body
+            # augments the ORIGINAL request (stac-fastapi sends
+            # {'token': ...} that way); replacing wholesale would drop
+            # the collections/bbox/datetime filters from page 2 on
+            link_body = next_link.get("body")
+            if link_body is not None:
+                if next_link.get("merge"):
+                    body = {**body, **link_body}
+                else:
+                    body = link_body
         return items[:max_items]
 
     def download_asset(self, item: dict, asset_key: str,
@@ -233,7 +251,7 @@ class StacClient:
 def best_asset_key(assets: dict, base: str) -> Optional[str]:
     """Prefer COG over JP2 asset variants (cloud_utils.py:57-67)."""
     keys = {k.lower(): k for k in assets}
-    for cand in (base.lower(), base.upper(), f"{base.lower()}-cog"):
+    for cand in (base.lower(), f"{base.lower()}-cog"):
         if cand in keys:
             return keys[cand]
     for k_low, k in keys.items():

@@ -123,6 +123,11 @@ def find_best_s2_for_emit_item(
     cand = cand[:max(1, min(cfg.top_k_scl, len(cand)))]
 
     best = None
+    # one stable download dir for the whole call: a fresh mkdtemp per
+    # candidate leaked directories AND defeated download_asset's
+    # file-existence caching across calls
+    wd = Path(workdir) if workdir is not None else (
+        Path(tempfile.gettempdir()) / "hyperres_scl_cache")
     for tod_d, frac_emit, meta_cc, it, overlap_geom in cand:
         key = best_asset_key(it.get("assets", {}), "scl")
         if key is None or key.lower() == "scl-jp2":
@@ -131,7 +136,7 @@ def find_best_s2_for_emit_item(
             if scl_fetcher is not None:
                 scl, grid = scl_fetcher(it, key)
             else:
-                wd = Path(workdir or tempfile.mkdtemp())
+                wd.mkdir(parents=True, exist_ok=True)
                 scl = stac.download_asset(
                     it, key, wd / f"{it.get('id', 'scl')}_SCL.tif")
                 grid = None

@@ -94,7 +94,13 @@ def build_s2_spectral_stack(
         bands.append(np.asarray(out))
         descs.append(desc)
 
-    stack = np.stack(bands).astype(out_dtype)
+    stack = np.stack(bands)
+    if np.issubdtype(np.dtype(out_dtype), np.integer):
+        # round, don't floor: bilinear upsampling of the 20 m bands
+        # produces fractional DNs and astype truncation would bias
+        # every interpolated pixel ~0.5 DN low (GDAL rounds on write)
+        stack = np.rint(stack)
+    stack = stack.astype(out_dtype)
     write_geotiff(out_stack, stack, ref_grid, nodata=ref_nodata,
                   compress="deflate", predictor=2
                   if np.issubdtype(stack.dtype, np.integer) else 1,

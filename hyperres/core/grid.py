@@ -212,11 +212,11 @@ def s2_anchored_target_grid(
     Enforces the 60-m-divides-S2-resolution contract
     (EMIT_data/emit_proj.py:791-797).
     """
-    for s2_res in (s2_grid.dx, s2_grid.dy):
-        ratio = xres / s2_res
+    for step, s2_res in ((xres, s2_grid.dx), (yres, s2_grid.dy)):
+        ratio = step / s2_res
         if abs(ratio - round(ratio)) > 1e-9:
             raise ValueError(
-                f"target step {xres} must be an integer multiple of S2 "
+                f"target step {step} must be an integer multiple of S2 "
                 f"resolution {s2_res}")
 
     src_bounds = src_grid.bounds_in(s2_grid.crs)

@@ -233,11 +233,17 @@ def fuse_pair(
     # Phase 2: real S2 RGB downsampled onto the EMIT grid (average)
     s2_rgb = np.stack([s2_stack_bhw[i] for i in s2_rgb_band_idx]).astype(
         np.float32)
+    s2_nodata_eff = s2_nodata
     if s2_scale is not None:
         s2_rgb = s2_rgb * float(s2_scale)
+        if s2_nodata_eff is not None:
+            # the sentinel scales with the data (same convention as the
+            # fused engine) — comparing the raw sentinel against scaled
+            # values would never match
+            s2_nodata_eff = float(s2_nodata_eff) * float(s2_scale)
     s2_hwb = np.moveaxis(s2_rgb, 0, -1)
     s2_60 = resample_to_grid(s2_hwb, s2_grid, emit_grid, method="average",
-                             nodata=s2_nodata, fill=np.nan)
+                             nodata=s2_nodata_eff, fill=np.nan)
     s2_real_60m = np.moveaxis(s2_60, -1, 0)
     valid60 = valid60 & np.isfinite(s2_real_60m).all(axis=0)
     t2 = time.perf_counter()

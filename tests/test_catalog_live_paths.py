@@ -102,17 +102,23 @@ class _Handler(BaseHTTPRequestHandler):
         body = json.loads(self.rfile.read(n) or b"{}")
         if u.path == "/stac/search":
             self.server.seen.append(("stac", body))
-            page = body.get("page", 1)
-            if page == 1:
+            # stac-fastapi style pagination: the next link carries ONLY
+            # a token body with merge=true — the client must merge it
+            # into the original request, keeping the search filters
+            if "token" not in body:
                 self._json({
                     "features": [{"id": "S2A_1", "assets": {}}],
                     "links": [{"rel": "next",
                                "href": f"http://{self.headers['Host']}"
                                        "/stac/search",
-                               "body": {**body, "page": 2}}],
+                               "merge": True,
+                               "body": {"token": "next:page2"}}],
                 })
-            else:
+            elif body.get("collections"):  # filters survived the merge
                 self._json({"features": [{"id": "S2B_2", "assets": {}}],
+                            "links": []})
+            else:  # filters dropped -> infinite junk page (the bug)
+                self._json({"features": [{"id": "JUNK", "assets": {}}],
                             "links": []})
         else:
             self._json({}, code=404)
@@ -194,7 +200,9 @@ def test_default_fetch_json_stac_pagination(live_server):
     assert bodies[0]["collections"] == ["sentinel-2-l2a"]
     assert bodies[0]["bbox"] == [10.0, 45.0, 11.0, 46.0]
     assert bodies[0]["datetime"] == "2023-08-01/2023-08-31"
-    assert bodies[1]["page"] == 2  # next-link body carried through
+    # merge=true token link: filters AND token both present on page 2
+    assert bodies[1]["token"] == "next:page2"
+    assert bodies[1]["collections"] == ["sentinel-2-l2a"]
 
 
 def test_default_fetch_json_error_wrapped(live_server):

@@ -214,3 +214,39 @@ def test_ridge_sr_predict_cube_nodata(rng):
     valid = ~np.isnan(pred[0])
     assert valid.sum() == 20 * 25 - 1
     assert np.nanmin(pred) >= 0.0 and np.nanmax(pred) <= 1.0
+
+
+def test_fuse_pair_phases_scales_nodata(rng):
+    """Phase 2's nodata compare must happen in the SAME units as the
+    scaled S2 data: with nodata=65535 and s2_scale=1e-4 the raw sentinel
+    never matches scaled values, so nodata pixels silently entered the
+    60 m average (the fused engine already scaled it)."""
+    from hyperres.core.crs import CRS
+    from hyperres.core.grid import Grid
+    from hyperres.pipeline import fuse_pair
+    from hyperres.testing.scenes import emit_wavelength_grid
+
+    wl, good = emit_wavelength_grid(48)
+    utm = CRS.utm(33, True)
+    emit_grid = Grid(utm, 399960.0, 5800020.0, 60.0, 60.0, 24, 24)
+    s2_grid = Grid(utm, 399960.0, 5800020.0, 10.0, 10.0, 144, 144)
+    base = np.linspace(0.15, 0.75, 24 * 24,
+                       dtype=np.float32).reshape(24, 24)
+    cube = (base[..., None]
+            * (0.5 + 0.5 * rng.random(48).astype(np.float32)))
+    s2 = np.stack([np.clip(base * c, 0, 1) * 10000.0
+                   for c in (0.9, 1.0, 1.1)]).astype(np.float32)
+    s2_10 = np.repeat(np.repeat(s2, 6, axis=1), 6, axis=2)
+    # a nodata swath in the S2 stack (raw sentinel units)
+    s2_10[:, :36, :] = 65535.0
+
+    res = fuse_pair(cube, wl, emit_grid, s2_10, s2_grid, good_mask=good,
+                    s2_scale=1e-4, s2_nodata=65535.0, engine="phases",
+                    fusion_method="linear")
+    # the 60 m cells under the nodata swath must be excluded: matched
+    # output there keeps the identity-stretch value, and no fitted
+    # value may be contaminated by the 6.5535 sentinel-scaled data
+    assert np.isfinite(res.coeffs).all()
+    a = res.coeffs[:, 0]
+    # a sane linear gain (sentinel leakage drags it towards ~10x off)
+    assert np.all(np.abs(a) < 3.0), res.coeffs
