@@ -17,6 +17,10 @@ chips — only the mesh construction differs.
 """
 
 import sys
+from pathlib import Path
+
+# allow running straight from a source checkout: python examples/<name>.py
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():

@@ -11,6 +11,9 @@ spectral-SR), writes quicklooks, and prints the key quality numbers.
 import sys
 from pathlib import Path
 
+# allow running straight from a source checkout: python examples/<name>.py
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import numpy as np
 
 
