@@ -85,11 +85,17 @@ def main():
     v = -(rows - raw_h / 2.0) * 60.0
     rx = cx + u * np.cos(th) - v * np.sin(th)
     ry = cy + u * np.sin(th) + v * np.cos(th)
-    a = scenes.abundance_maps(rx, ry)
-    raw = np.clip(a @ spectra
-                  + rng.normal(scale=0.002, size=(raw_h, raw_w, n_bands)),
-                  0.005, 0.95).astype(np.float32)
+    # f32 accumulation: the f64 matmul product + full-cube f64 noise +
+    # their sum would peak ~11 GB host RSS at full scale
+    a = scenes.abundance_maps(rx, ry).astype(np.float32)
+    raw = a @ spectra.astype(np.float32)
     del a
+    noise = rng.standard_normal(size=(raw_h, raw_w, n_bands),
+                                dtype=np.float32)
+    noise *= np.float32(0.002)
+    raw += noise
+    del noise
+    np.clip(raw, 0.005, 0.95, out=raw)
 
     lon, lat = utm.to_geographic(rx, ry)
     res_x = 60.0 / 111320.0 / np.cos(np.radians(float(lat.mean())))
@@ -323,7 +329,7 @@ def main():
         except Exception as exc:  # diagnostics must never kill the bench
             log(f"stage diagnostics failed: {exc!r}")
 
-    n_runs = int(os.environ.get("HYPERRES_BENCH_RUNS", "1"))
+    n_runs = max(1, int(os.environ.get("HYPERRES_BENCH_RUNS", "1")))
     times = []
     fused_np = coeffs_np = fused_shape = None
     for i in range(n_runs):

@@ -9,7 +9,10 @@ subcommands:
   python -m hyperres tiles  EMIT.tif S2.tif OUT_DIR [--tile-size N] [--scale K]
   python -m hyperres coreg  --emit-ref E.tif --s2 S2.tif --nc EMIT.nc --out OUT.tif
   python -m hyperres scene  OUT_DIR [--raw H W] [--bands N] [--s2-size N]
+  python -m hyperres batch  JOBS.json OUT_DIR [--retries N] [--no-resume]
+  python -m hyperres srf    SOURCE.xlsx|.csv [--platform S2A] [--fetch]
   python -m hyperres info   RASTER [RASTER ...]
+  python -m hyperres quicklook RASTER OUT.html [--max-size N] [--max-bands N]
 """
 
 from __future__ import annotations

@@ -43,11 +43,14 @@ def coregister_s2_to_emit(
     s2_template_tif: Union[str, Path, None] = None,
     out_s2_tif: Union[str, Path],
     config: CoregConfig = CoregConfig(),
-    nodata_emit: Optional[float] = 65535,
+    nodata_emit: Optional[float] = None,
     nodata_s2: Optional[float] = None,
 ) -> Dict:
     """Coregister an S2 granule to an EMIT reference; returns the
-    reference's result schema {"final", "attempts", "out_s2_tif"}."""
+    reference's result schema {"final", "attempts", "out_s2_tif"}.
+    ``nodata_emit=None`` (default) takes the reference GeoTIFF's own
+    nodata tag — correct for both the u16 product export (65535) and a
+    float32 export (-9999)."""
     cfg = config
     target_nm = dict(cfg.band_target_nm)
 
@@ -61,7 +64,10 @@ def coregister_s2_to_emit(
                   for k, v in target_nm.items()}
 
     with TiffReader(s2_tgt_tif) as t:
-        s2_stack = t.read().astype(np.float32)
+        s2_stack_raw = t.read()
+        s2_dtype_in = s2_stack_raw.dtype
+        s2_stack = s2_stack_raw.astype(np.float32)
+        del s2_stack_raw
         s2_grid = t.grid
         s2_desc = t.descriptions
         if nodata_s2 is None:
@@ -111,8 +117,11 @@ def coregister_s2_to_emit(
                               method=cfg.resamp_deshift,
                               local_residuals=cfg.local_residuals,
                               residual_mode=cfg.residual_mode)
-            out_dtype = np.uint16 if np.issubdtype(
-                np.asarray(s2_stack).dtype, np.integer) else np.float32
+            # preserve the INPUT dtype (the stack was cast to float32
+            # for matching; dtype parity with the source export matters)
+            out_dtype = (np.uint16 if np.issubdtype(s2_dtype_in,
+                                                    np.integer)
+                         else np.float32)
             write_geotiff(
                 out_s2_tif,
                 np.clip(np.nan_to_num(shifted,

@@ -720,6 +720,29 @@ class TiffReader:
             raw = zlib.decompress(raw)
         elif self.compression != COMPRESSION_NONE:
             raise ValueError(f"Unsupported compression {self.compression}")
+        return self._assemble_block(idx, raw)
+
+    def _decode_blocks(self, indices):
+        """{idx: block array} for many blocks; deflate blocks inflate
+        across a thread pool (zlib releases the GIL, so this scales with
+        host cores — same strategy as the HDF5 chunk decoder)."""
+        import os
+        nt = min(8, os.cpu_count() or 1, len(indices))
+        if (nt > 1 and self.compression in (COMPRESSION_DEFLATE,
+                                            COMPRESSION_DEFLATE_OLD)):
+            f = self._f
+            raws = []
+            for idx in indices:
+                f.seek(self.offsets[idx])
+                raws.append(f.read(self.counts[idx]))
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(nt) as ex:
+                blobs = list(ex.map(zlib.decompress, raws))
+            return {idx: self._assemble_block(idx, blob)
+                    for idx, blob in zip(indices, blobs)}
+        return {idx: self._decode_block(idx) for idx in indices}
+
+    def _assemble_block(self, idx: int, raw: bytes) -> np.ndarray:
         by, bx = divmod(idx, self.blocks_x)
         if self.tiled:
             rows, cols = self.block_h, self.block_w
@@ -748,9 +771,13 @@ class TiffReader:
         by1 = (window.row_off + window.height - 1) // self.block_h
         bx0 = window.col_off // self.block_w
         bx1 = (window.col_off + window.width - 1) // self.block_w
+        indices = [by * self.blocks_x + bx
+                   for by in range(by0, min(by1, self.blocks_y - 1) + 1)
+                   for bx in range(bx0, min(bx1, self.blocks_x - 1) + 1)]
+        blocks = self._decode_blocks(indices)
         for by in range(by0, min(by1, self.blocks_y - 1) + 1):
             for bx in range(bx0, min(bx1, self.blocks_x - 1) + 1):
-                block = self._decode_block(by * self.blocks_x + bx)
+                block = blocks[by * self.blocks_x + bx]
                 r0 = by * self.block_h
                 c0 = bx * self.block_w
                 # intersection in image coords

@@ -150,11 +150,15 @@ def predictor2(block: np.ndarray, encode: bool,
     arr = np.ascontiguousarray(block)
     itemsize = arr.dtype.itemsize
     if lib is None or itemsize not in _PRED_NAMES or arr.ndim != 3:
-        out = arr.copy()
+        # NumPy fallback: normalize to (rows, cols, samples) so 2-D
+        # input doesn't index a missing sample axis
+        a3 = arr if arr.ndim == 3 else arr[..., None]
+        out = a3.copy()
         if encode:
-            out[:, 1:, :] = arr[:, 1:, :] - arr[:, :-1, :]
-            return out
-        return np.cumsum(arr, axis=1, dtype=arr.dtype)
+            out[:, 1:, :] = a3[:, 1:, :] - a3[:, :-1, :]
+        else:
+            out = np.cumsum(a3, axis=1, dtype=a3.dtype)
+        return out if arr.ndim == 3 else out[..., 0]
     out = arr.copy()
     fn = getattr(lib, f"hr_predictor2_"
                       f"{'encode' if encode else 'decode'}_"

@@ -302,7 +302,8 @@ def quicklook_from_product(
         r = envi.EnviReader(hdr)
         cube = r.read().astype(np.float32)
         wl = r.wavelengths
-        kwargs.setdefault("nodata", -9999.0)
+        kwargs.setdefault("nodata", r.nodata if r.nodata is not None
+                          else -9999.0)
         kwargs.setdefault("title", f"hyperres quicklook — {p.stem}")
         return write_interactive_quicklook(cube, out_html, wl, **kwargs)
     if p.suffix.lower() == ".nc":

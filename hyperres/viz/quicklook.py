@@ -109,12 +109,27 @@ def show_emit_rgb_from_envi(hdr_path: Union[str, Path],
 
 def load_s2_rgb_u8(tif_path: Union[str, Path],
                    bands: Tuple[int, int, int] = (0, 1, 2)) -> np.ndarray:
-    """(H, W, 3) uint8 from an S2 truecolor GeoTIFF (s2_emit/viz.py:11-17)."""
+    """(H, W, 3) uint8 from an S2 truecolor GeoTIFF (s2_emit/viz.py:11-17).
+    Non-uint8 data is robust-stretched per image EXCLUDING the nodata
+    sentinel (a global /max() would let a 65535 sentinel crush valid
+    reflectance to black and render nodata white)."""
     with TiffReader(tif_path) as r:
         data = r.read(bands=list(bands))
+        nod = r.nodata
     if data.dtype != np.uint8:
-        data = np.clip(data.astype(np.float32) / data.max() * 255.0,
-                       0, 255).astype(np.uint8)
+        x = data.astype(np.float32)
+        valid = np.isfinite(x)
+        if nod is not None:
+            valid &= x != np.float32(nod)
+        finite = x[valid]
+        if finite.size:
+            lo, hi = np.percentile(finite, [2.0, 98.0])
+            hi = hi if hi > lo else lo + 1.0
+        else:
+            lo, hi = 0.0, 1.0
+        x = np.clip((x - lo) / (hi - lo) * 255.0, 0, 255)
+        x[~valid] = 0.0
+        data = x.astype(np.uint8)
     return np.moveaxis(data, 0, -1)
 
 
@@ -218,14 +233,12 @@ def plot_tile_pair_simple(emit_tif: Union[str, Path],
         emit_rgb = np.stack([percentile_stretch(emit[i]) for i in idx],
                             axis=-1)
     with TiffReader(s2_tif) as sr:
-        s2 = sr.read(bands=[0, 1, 2]).astype(np.float32)
         codes = [str(d).split("_")[0] for d in (sr.descriptions or [])]
         order = [0, 1, 2]
-        if "B04" in codes and "B02" in codes:
+        if all(c in codes for c in ("B04", "B03", "B02")):
             order = [codes.index("B04"), codes.index("B03"),
                      codes.index("B02")]
-            with TiffReader(s2_tif) as sr2:
-                s2 = sr2.read(bands=order).astype(np.float32)
+        s2 = sr.read(bands=order).astype(np.float32)
         s2_rgb = np.stack([percentile_stretch(s2[i]) for i in range(3)],
                           axis=-1)
     return show_side_by_side(emit_rgb, s2_rgb, "EMIT tile", "S2 tile",
