@@ -207,7 +207,6 @@ def main():
     transfer = os.environ.get("HYPERRES_BENCH_TRANSFER", "u16")
     if os.environ.get("HYPERRES_BENCH_U16_UPLOAD") == "0":  # back-compat
         transfer = "f32"
-    u16_upload = transfer == "u16"
     from hyperres.io.ingest import stream_cube_to_device
     raw_j = stream_cube_to_device(
         lambda b0, b1: raw[..., b0:b1], raw.shape, transfer=transfer,
@@ -231,8 +230,8 @@ def main():
     jax.block_until_ready((raw_j, flat_j, wr_j, s2rgb_j, Wr10))
     t_upload = time.perf_counter() - t_up0
     log(f"upload done in {t_upload:.2f}s "
-        f"({(raw.nbytes // 2 if u16_upload else raw.nbytes) / 1e9:.2f} GB "
-        f"{'u16-quantized ' if u16_upload else ''}raw cube)")
+        f"({raw.nbytes * {'u16': 0.5, 'u12': 0.375, 'f32': 1.0}[transfer] / 1e9:.2f} GB "
+        f"{transfer} raw cube)")
 
     jit_probe = jax.jit(lambda x: x[::997, ::997])
 

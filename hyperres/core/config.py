@@ -21,7 +21,9 @@ class OrthoConfig:
     # with host->HBM transfer and device-side assembly (the production
     # successor of the reference's 32-band chunk loop). "u16" ships each
     # slab per-band-affine-quantized (half the transfer bytes, error
-    # <= band_range/65534/2 — below sensor noise); "f32" is bit-exact.
+    # <= band_range/65534/2 — below sensor noise); "u12" packs 12-bit
+    # values (25% fewer bytes than u16, error <= band_range/4094/2 —
+    # still below sensor noise for reflectance); "f32" is bit-exact.
     streaming_ingest: bool = True
     ingest_transfer: str = "u16"
     ingest_depth: int = 3

@@ -26,6 +26,7 @@ from ..core.constants import NO_DATA_VALUE
 from .pipeline import PrefetchToDevice
 
 U16_SENTINEL = 65535  # invalid-pixel marker (tiles_helpers convention)
+U12_SENTINEL = 4095   # 12-bit packed-transfer invalid marker
 
 
 def quantize_slab_u16(slab: np.ndarray, nodata: float = NO_DATA_VALUE
@@ -59,9 +60,68 @@ def quantize_slab_u16(slab: np.ndarray, nodata: float = NO_DATA_VALUE
     tmp *= np.float32(1.0) / scale32
     np.rint(tmp, out=tmp)
     np.clip(tmp, 0, U16_SENTINEL - 1, out=tmp)
+    tmp[~valid] = 0.0  # NaN -> u16 cast is undefined (and warns)
     q = tmp.astype(np.uint16)
     q[~valid] = U16_SENTINEL
     return q.reshape(shape), scale32, offset32
+
+
+def quantize_slab_u12(slab: np.ndarray, nodata: float = NO_DATA_VALUE
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Per-band affine 12-bit quantization, two values packed into
+    three bytes — 25% fewer wire bytes than u16 for another ~16x coarser
+    step (error <= band_range/4094/2, still well below EMIT sensor noise
+    for reflectance). Returns (packed u8 (H, W, 3*ceil(nb/2)), scale,
+    offset, nb) with ``x ~= v * scale + offset``; sentinel 4095 marks
+    invalid pixels. An odd band count is padded with one sentinel band
+    (the consumer slices back to ``nb``)."""
+    slab = np.asarray(slab)
+    h, w, nb = slab.shape
+    flat = slab.reshape(-1, nb)
+    valid = np.isfinite(flat)
+    valid &= flat != nodata
+    vmin = np.min(flat, axis=0, where=valid, initial=np.inf)
+    vmax = np.max(flat, axis=0, where=valid, initial=-np.inf)
+    dead = ~np.isfinite(vmin)
+    vmin[dead] = 0.0
+    vmax[dead] = 0.0
+    scale = (vmax - vmin) / float(U12_SENTINEL - 1)
+    scale[scale <= 0.0] = 1.0
+    scale32 = scale.astype(np.float32)
+    offset32 = vmin.astype(np.float32)
+    tmp = flat - offset32
+    tmp *= np.float32(1.0) / scale32
+    np.rint(tmp, out=tmp)
+    np.clip(tmp, 0, U12_SENTINEL - 1, out=tmp)
+    tmp[~valid] = 0.0  # NaN -> u16 cast is undefined (and warns)
+    q = tmp.astype(np.uint16)
+    q[~valid] = U12_SENTINEL
+    q = q.reshape(h, w, nb)
+    if nb % 2:
+        q = np.concatenate(
+            [q, np.full((h, w, 1), U12_SENTINEL, np.uint16)], axis=-1)
+    v0 = q[..., 0::2].astype(np.uint16)
+    v1 = q[..., 1::2].astype(np.uint16)
+    packed = np.empty(v0.shape[:2] + (v0.shape[2], 3), dtype=np.uint8)
+    packed[..., 0] = v0 & 0xFF
+    packed[..., 1] = (v0 >> 8) | ((v1 & 0x0F) << 4)
+    packed[..., 2] = v1 >> 4
+    return (packed.reshape(h, w, -1), scale32, offset32, nb)
+
+
+@lru_cache(maxsize=None)
+def _u12_dequant(nodata: float, nb: int):
+    @jax.jit
+    def deq(packed, scale, offset):
+        h, w, _ = packed.shape
+        p = packed.reshape(h, w, -1, 3).astype(jnp.int32)
+        v0 = p[..., 0] | ((p[..., 1] & 0x0F) << 8)
+        v1 = (p[..., 1] >> 4) | (p[..., 2] << 4)
+        q = jnp.stack([v0, v1], axis=-1).reshape(h, w, -1)[..., :nb]
+        x = q.astype(jnp.float32) * scale + offset
+        return jnp.where(q == U12_SENTINEL, jnp.float32(nodata), x)
+
+    return deq
 
 
 @partial(jax.jit, donate_argnums=0)
@@ -87,7 +147,9 @@ def stream_cube_to_device(
 
     ``read_bands(b0, b1)`` returns the (H, W, b1-b0) float32 slab.
     ``transfer``: 'u16' (per-band affine quantization, half the bytes on
-    the wire, error <= band_range/65534/2) or 'f32' (bit-exact).
+    the wire, error <= band_range/65534/2), 'u12' (12-bit packed, 25%
+    fewer bytes than u16, error <= band_range/4094/2) or 'f32'
+    (bit-exact).
     """
     h, w, n_bands = shape_hwb
     out = jax.device_put(
@@ -132,8 +194,9 @@ def stream_cube_fold(
     call sees one static shape (one XLA compilation); the caller is
     responsible for slicing padded bands off the final carry.
     """
-    if transfer not in ("u16", "f32"):
-        raise ValueError(f"transfer must be 'u16' or 'f32', got {transfer!r}")
+    if transfer not in ("u16", "u12", "f32"):
+        raise ValueError(
+            f"transfer must be 'u16', 'u12' or 'f32', got {transfer!r}")
     h, w, n_bands = shape_hwb
     chunk_bands = max(1, int(chunk_bands))
 
@@ -149,14 +212,20 @@ def stream_cube_fold(
             if transfer == "u16":
                 q, scale, offset = quantize_slab_u16(slab, nodata)
                 yield (q, scale, offset, np.int32(b0))
+            elif transfer == "u12":
+                packed, scale, offset, nb = quantize_slab_u12(slab, nodata)
+                yield (packed, scale, offset, np.int32(b0), nb)
             else:
                 yield (slab, np.int32(b0))
 
-    deq = _u16_dequant(float(nodata))
+    deq16 = _u16_dequant(float(nodata))
     for item in PrefetchToDevice(source(), depth=depth, device=device):
         if transfer == "u16":
             q, scale, offset, b0 = item
-            x = deq(q, scale, offset)
+            x = deq16(q, scale, offset)
+        elif transfer == "u12":
+            packed, scale, offset, b0, nb = item
+            x = _u12_dequant(float(nodata), int(nb))(packed, scale, offset)
         else:
             x, b0 = item
         carry = fold(carry, x, b0)
