@@ -41,6 +41,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from hyperres.utils import enable_compilation_cache
+    enable_compilation_cache()  # repeat runs skip the minutes-scale
+    #                             axon warm-up compile entirely
+
     from hyperres.core.config import OTConfig
     from hyperres.core.grid import s2_anchored_target_grid
     from hyperres.fusion.sampling import sample_valid_pixels_device

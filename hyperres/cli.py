@@ -258,6 +258,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from .utils import enable_compilation_cache
+    enable_compilation_cache()  # persistent XLA cache: repeat CLI runs
+    #                             skip the minutes-scale tunnel compiles
     args = build_parser().parse_args(argv)
     return args.fn(args)
 
