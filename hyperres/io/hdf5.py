@@ -21,7 +21,8 @@ netCDF-4 files, i.e. HDF5 written by netcdf-c *without* the
 - variable-length string attributes AND datasets via the global heap
   (netcdf-c writes NC_STRING that way).
 
-A matching writer produces valid files of the same subset so synthetic
+A matching writer produces valid files of the same subset — verified
+against stock libhdf5 (h5py opens and reads them) — so synthetic
 granules used in tests round-trip through the real reader path
 (reference entry points replaced: EMIT_data/emit_proj.py:607-614,
 EMIT_data/emit_tools.py:34-125, s2_emit/emit_io.py:18-31).
@@ -166,9 +167,8 @@ class Dataset:
         raws = [f._pread(addr, size) for _, addr, size, _ in metas]
         nthreads = min(8, os.cpu_count() or 1, len(raws))
         if nthreads > 1:
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(nthreads) as ex:
-                blocks = list(ex.map(zlib.decompress, raws))
+            blocks = list(f.decode_pool(nthreads).map(zlib.decompress,
+                                                      raws))
         else:
             blocks = [zlib.decompress(r) for r in raws]
         n = len(blocks)
@@ -288,7 +288,21 @@ class HDF5File:
     # ---- python niceties ----
 
     def close(self):
+        pool = getattr(self, "_decode_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False)
+            self._decode_pool = None
         self._fh.close()
+
+    def decode_pool(self, n_threads: int):
+        """Lazily created shared inflate thread pool (one per file —
+        the 32-band streaming loop decodes a slab per call and should
+        not pay pool setup/teardown each time)."""
+        pool = getattr(self, "_decode_pool", None)
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = self._decode_pool = ThreadPoolExecutor(n_threads)
+        return pool
 
     def __enter__(self):
         return self
@@ -508,6 +522,10 @@ class HDF5File:
                     .decode("utf-8", "replace") for i in range(n)]
             return vals[0] if not ds.shape else vals
         arr = np.frombuffer(raw[:n * dt.size], dtype=dt.numpy_dtype())
+        if arr.size < n:
+            # NULL dataspace (h5py.Empty) or truncated value: nothing
+            # to decode — treat as unsupported, caller skips the attr
+            raise ValueError("attribute value shorter than its dataspace")
         if not ds.shape:
             v = arr[0]
             return v.item() if arr.dtype.kind in "iuf" else v
@@ -648,6 +666,11 @@ class HDF5File:
             if b"\x00" in chunk:
                 out += chunk.split(b"\x00")[0]
                 break
+            if not chunk:
+                # EOF before a NUL terminator (truncated/corrupt file):
+                # error out instead of spinning forever
+                raise ValueError(
+                    "Unterminated heap string (truncated file?)")
             out += chunk
         return out.decode()
 
@@ -850,7 +873,18 @@ class HDF5File:
             _, base, nbytes = ds.chunk_index
             if base == UNDEF:
                 return
-            for i, coord in enumerate(np.ndindex(*grid)):
+            # chunk i sits at base + i*nbytes with i linearized over the
+            # MAXSHAPE chunk grid (same stride contract as the fixed /
+            # extensible indexes; current-shape strides silently
+            # misplace rows when maxshape > shape on a fixed dim)
+            max_grid = list(grid)
+            if ds.maxshape is not None:
+                for d, m in enumerate(ds.maxshape):
+                    if m is not None:
+                        max_grid[d] = -(-int(m) // ds.chunk_shape[d])
+            for i, coord in enumerate(np.ndindex(*max_grid)):
+                if any(coord[d] >= grid[d] for d in range(rank)):
+                    continue  # beyond the current shape
                 yield (tuple(o * c for o, c in zip(coord, ds.chunk_shape)),
                        base + i * nbytes, nbytes, 0)
         elif kind == "fixed":
@@ -1562,8 +1596,10 @@ class HDF5Writer:
         heap_data.align(8)
         buf.align(8)
         heap_data_addr = buf.tell() + 32
+        # free-list head 1 == H5HL_FREE_NULL (no free block); libhdf5
+        # validates the offset against the heap size and rejects UNDEF
         heap_hdr = (b"HEAP" + struct.pack("<B3x", 0)
-                    + struct.pack("<QQQ", len(heap_data.data), UNDEF,
+                    + struct.pack("<QQQ", len(heap_data.data), 1,
                                   heap_data_addr))
         buf.write(heap_hdr)
         buf.write(bytes(heap_data.data))
@@ -1576,7 +1612,11 @@ class HDF5Writer:
             snod += struct.pack("<QQI4x16x", name_offsets[name], addr, 0)
         buf.write(snod)
 
-        # B-tree v1 (single leaf)
+        # B-tree v1 (single leaf), padded to the node size libhdf5
+        # derives from the superblock's group internal K=16
+        # (24 + (2K+1)*8 keys + 2K*8 children = 544 bytes) — a stock
+        # reader loads the whole node, so short files fail its
+        # addr-overflow check
         buf.align(8)
         btree_addr = buf.tell()
         bt = (b"TREE" + struct.pack("<BBH", 0, 0, 1)
@@ -1585,17 +1625,14 @@ class HDF5Writer:
         key0 = 0
         key1 = name_offsets[entries[-1][0]] if entries else 0
         bt += struct.pack("<QQQ", key0, snod_addr, key1)
+        bt += b"\x00" * (544 - len(bt))
         buf.write(bt)
 
         # group object header
+        heap_hdr_addr = heap_data_addr - 32
         msgs: List[Tuple[int, bytes]] = []
         msgs.append((0x0011, struct.pack("<QQ", btree_addr,
-                                         btree_addr - 32 - len(heap_data.data)
-                                         - ((8 - (32 + len(heap_data.data)) % 8) % 8)
-                                         if False else 0)))
-        # simpler: recompute heap header addr
-        heap_hdr_addr = heap_data_addr - 32
-        msgs[-1] = (0x0011, struct.pack("<QQ", btree_addr, heap_hdr_addr))
+                                         heap_hdr_addr)))
         for k, v in node["__attrs__"].items():
             msgs.append((0x000C, _attr_message(k, v)))
         buf.align(8)
@@ -1658,9 +1695,16 @@ class HDF5Writer:
                 bt += struct.pack("<II", size, 0)
                 bt += struct.pack(f"<{rank_plus1}Q", *offs, 0)
                 bt += struct.pack("<Q", addr)
-            # final key: dims themselves
+            # final key: one past the last chunk — offsets must be
+            # chunk multiples (libhdf5 rejects 'bad coordinate offset')
+            limit = [-(-s // c) * c for s, c in zip(data.shape, chunks)]
             bt += struct.pack("<II", 0, 0)
-            bt += struct.pack(f"<{rank_plus1}Q", *data.shape, 0)
+            bt += struct.pack(f"<{rank_plus1}Q", *limit, 0)
+            # pad to the stock node size (istore K=32 default for v0
+            # superblocks): 24 + (2K+1)*key + 2K*child
+            node_size = 24 + (2 * 32 + 1) * key_size + 2 * 32 * 8
+            if len(bt) < node_size:
+                bt += b"\x00" * (node_size - len(bt))
             buf.write(bt)
             layout = struct.pack("<BBB", 3, 2, rank_plus1)
             layout += struct.pack("<Q", btree_addr)

@@ -377,3 +377,71 @@ class TestLatestFormat:
             assert len(f.variables) == 30
             np.testing.assert_array_equal(
                 f.variables["v29"].read(), np.arange(4) + 29)
+
+
+def test_writer_output_readable_by_h5py(tmp_path, rng):
+    """HDF5Writer must emit files stock libhdf5 accepts — local-heap
+    free-list sentinel, padded v1 B-tree nodes, chunk-multiple final
+    keys (all rejected by h5py before round 2)."""
+    import h5py
+    w = HDF5Writer(tmp_path / "interop.h5")
+    w.create_group("/g")
+    a = rng.normal(size=(4, 6)).astype(np.float32)
+    w.create_dataset("/g/x", a, attrs={"units": "nm"})
+    b = rng.integers(0, 1000, (7, 9, 5)).astype(np.int32)
+    w.create_dataset("/g/c", b, chunks=(4, 4, 5), compression="gzip",
+                     shuffle=True)
+    w.create_dataset("/plain", np.arange(10, dtype="f8"),
+                     attrs={"k": np.int32(3)})
+    w.set_attrs("/", title="interop")
+    w.save()
+    with h5py.File(tmp_path / "interop.h5") as f:
+        assert sorted(f) == ["g", "plain"]
+        np.testing.assert_array_equal(f["g/x"][...], a)
+        np.testing.assert_array_equal(f["g/c"][...], b)
+        np.testing.assert_array_equal(f["plain"][...], np.arange(10.0))
+        def _s(v):
+            return v.decode() if isinstance(v, bytes) else v
+        assert _s(f.attrs["title"]) == "interop"
+        assert _s(f["g/x"].attrs["units"]) == "nm"
+
+
+def test_null_dataspace_attr_skipped(tmp_path):
+    """h5py.Empty attrs (NULL dataspace) must be skipped like other
+    unsupported attributes, not crash the open with IndexError."""
+    import h5py
+    from hyperres.io.hdf5 import HDF5File
+    for libver in ("earliest", "latest"):
+        p = tmp_path / f"null_{libver}.h5"
+        with h5py.File(p, "w", libver=libver) as f:
+            d = f.create_dataset("x", data=np.arange(3, dtype="f4"))
+            d.attrs.create("empty", h5py.Empty("f4"))
+            d.attrs["real"] = 7
+        with HDF5File(p) as f:
+            ds = f.variables["x"]
+            assert ds.attrs.get("real") == 7
+            assert "empty" not in ds.attrs
+
+
+def test_implicit_index_maxshape_strides(tmp_path):
+    """Implicit (early-allocation) chunk index linearizes over the
+    MAXSHAPE grid — current-shape strides silently misplaced rows."""
+    import h5py
+    from h5py import h5d, h5p, h5s, h5t
+    from hyperres.io.hdf5 import HDF5File
+    p = tmp_path / "impl.h5"
+    with h5py.File(p, "w", libver="latest") as f:
+        space = h5s.create_simple((6, 8), (6, 16))
+        dcpl = h5p.create(h5p.DATASET_CREATE)
+        dcpl.set_chunk((2, 4))
+        dcpl.set_alloc_time(h5d.ALLOC_TIME_EARLY)
+        dset = h5d.create(f.id, b"d", h5t.NATIVE_FLOAT, space, dcpl)
+        data = np.arange(48, dtype="f4").reshape(6, 8)
+        dset.write(h5s.ALL, h5s.ALL, data)
+        dset.close()
+    with h5py.File(p) as hf:
+        truth = hf["d"][...]
+    with HDF5File(p) as f:
+        ds = f.variables["d"]
+        assert ds.chunk_index[0] == "implicit"
+        np.testing.assert_array_equal(ds.read(), truth)
