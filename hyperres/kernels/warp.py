@@ -139,14 +139,27 @@ def warp_nearest(img: jax.Array, rows: jax.Array, cols: jax.Array,
     return jnp.where(bad, jnp.asarray(fill, out.dtype), out)
 
 
+_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+               "high": jax.lax.Precision.HIGH,
+               "default": jax.lax.Precision.DEFAULT}
+
+
+def cubic_kernel_weight(x, a: float = -0.5, xp=jnp):
+    """GDAL's cubic-convolution kernel (a = -0.5, Catmull-Rom-style)
+    at signed pixel distance ``x``. THE single definition — the gather
+    kernel, the separable weight matrices, and the two-pass banded
+    profiles must stay numerically identical, so they all call this
+    (``xp``: jnp when traced, np for host-side weight matrices)."""
+    ax = xp.abs(x)
+    w1 = (a + 2.0) * ax ** 3 - (a + 3.0) * ax ** 2 + 1.0
+    w2 = a * ax ** 3 - 5.0 * a * ax ** 2 + 8.0 * a * ax - 4.0 * a
+    return xp.where(ax <= 1.0, w1, xp.where(ax < 2.0, w2, 0.0))
+
+
 def _cubic_weights(t: jax.Array, a: float = -0.5):
     """Cubic convolution weights for offsets (-1, 0, 1, 2) relative to the
     floor sample; t in [0, 1)."""
-    def k(x):
-        ax = jnp.abs(x)
-        w1 = (a + 2.0) * ax ** 3 - (a + 3.0) * ax ** 2 + 1.0
-        w2 = a * ax ** 3 - 5.0 * a * ax ** 2 + 8.0 * a * ax - 4.0 * a
-        return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+    k = lambda x: cubic_kernel_weight(x, a=a, xp=jnp)
     return [k(t + 1.0), k(t), k(1.0 - t), k(2.0 - t)]
 
 
@@ -271,14 +284,7 @@ def separable_weight_matrix(idx_1d: np.ndarray, src_size: int,
     if method == "bilinear":
         taps = [(0, 1.0 - t), (1, t)]
     elif method == "cubic":
-        a = -0.5
-
-        def k(x):
-            ax = np.abs(x)
-            w1 = (a + 2.0) * ax ** 3 - (a + 3.0) * ax ** 2 + 1.0
-            w2 = a * ax ** 3 - 5.0 * a * ax ** 2 + 8.0 * a * ax - 4.0 * a
-            return np.where(ax <= 1.0, w1, np.where(ax < 2.0, w2, 0.0))
-
+        k = lambda x: cubic_kernel_weight(x, xp=np)
         taps = [(-1, k(t + 1.0)), (0, k(t)), (1, k(1.0 - t)),
                 (2, k(2.0 - t))]
     else:
@@ -542,15 +548,11 @@ def _kernel_profile(dist: jax.Array, method: str) -> jax.Array:
     ``dist`` from the sampling position. Evaluating this over an iota
     yields the banded interpolation matrix whose rows are exactly the
     per-tap weights of ``warp_interpolate`` (cubic a = -0.5)."""
-    ax = jnp.abs(dist)
     if method == "bilinear":
-        return jnp.maximum(0.0, 1.0 - ax)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(dist))
     if method != "cubic":
         raise ValueError(f"Unknown method {method!r}")
-    a = -0.5
-    w1 = (a + 2.0) * ax ** 3 - (a + 3.0) * ax ** 2 + 1.0
-    w2 = a * ax ** 3 - 5.0 * a * ax ** 2 + 8.0 * a * ax - 4.0 * a
-    return jnp.where(ax <= 1.0, w1, jnp.where(ax < 2.0, w2, 0.0))
+    return cubic_kernel_weight(dist, xp=jnp)
 
 
 @partial(jax.jit,
@@ -596,9 +598,7 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
     raw_flat = raw.reshape(-1, b)
     ho, wo = glt_flat_idx.shape
     hd, wd = rows.shape
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[precision]
+    prec = _PRECISIONS[precision]
 
     # GLT materialisation (1 gather) + validity channel
     v = jnp.take(raw_flat, glt_flat_idx.reshape(-1),
@@ -737,9 +737,7 @@ def warp_two_pass(img: jax.Array, rows: jax.Array, cols: jax.Array,
             [img.astype(jnp.float32),
              jnp.ones(img.shape[:2] + (1,), jnp.float32)], axis=-1)
         nv = 1
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[precision]
+    prec = _PRECISIONS[precision]
     out_ext = _two_pass_core(src_ext, rows, cstar, method,
                              block_rows_src, block_rows_dst, prec)
     num = out_ext[..., :b]
