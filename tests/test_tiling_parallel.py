@@ -296,3 +296,64 @@ def test_sharded_two_pass_halo_guard(eight_devices, rng):
     with pytest.raises(ValueError, match="increase halo"):
         sharded_orthowarp_two_pass(raw, flat_idx, vmask, rows, cols,
                                    cstar, mesh, halo=1)
+
+
+def test_fused_pipeline_gspmd_under_mesh(eight_devices, rng, tmp_path):
+    """The fused production program (GLT ortho + two-pass warp + 4-phase
+    fusion in ONE jit) runs GSPMD-partitioned under an 8-device mesh
+    with NamedSharding inputs and matches the single-device result —
+    the driver dryrun's program 6, covered in CI."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hyperres.core.config import OTConfig, PolyFusionConfig
+    from hyperres.core.crs import CRS
+    from hyperres.core.grid import Grid
+    from hyperres.fusion.fused import FusedOrthoFusionPlan
+    from hyperres.parallel import make_mesh
+    from hyperres.testing.scenes import emit_wavelength_grid
+
+    n_bands = 48
+    wl, good = emit_wavelength_grid(n_bands)
+    rh, rw = 20, 22
+    oh = ow = 24
+    s2n = oh * 6
+    utm = CRS.utm(33, True)
+    utm_grid = Grid(utm, 399960.0, 5800020.0, 60.0, 60.0, ow, oh)
+    s2_grid = Grid(utm, 399960.0, 5800020.0, 10.0, 10.0, s2n, s2n)
+    glt = np.zeros((oh, ow, 2), dtype=np.int32)
+    glt[..., 0] = rng.integers(1, rw + 1, (oh, ow))
+    glt[..., 1] = rng.integers(1, rh + 1, (oh, ow))
+    plan = FusedOrthoFusionPlan(
+        utm_grid, utm_grid, s2_grid, (rh, rw), glt, wl, good,
+        config=PolyFusionConfig(degree=2,
+                                ot=OTConfig(n_samples=64, num_itermax=10)),
+        warp_kernel="two_pass")
+
+    yy = np.linspace(0, 1, rh, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 1, rw, dtype=np.float32)[None, :]
+    base = 0.2 + 0.6 * (0.5 * yy + 0.3 * xx
+                        + 0.2 * np.sin(7 * yy + 5 * xx))
+    spec = (0.5 + 0.5 * rng.random(n_bands)).astype(np.float32)
+    raw = (base[..., None] * spec
+           + 0.02 * rng.random((rh, rw, n_bands))).astype(np.float32)
+    sy = np.linspace(0, 1, s2n, dtype=np.float32)
+    s2base = 0.2 + 0.6 * (0.5 * sy[:, None] + 0.3 * sy[None, :])
+    s2 = np.stack([s2base * c for c in (0.9, 1.0, 1.1)]).astype(np.float32)
+
+    single = plan(raw, plan.prepare_s2(s2))
+    fused_single = np.asarray(single["fused_10m"])
+
+    mesh = make_mesh((8,), ("data",), devices=eight_devices[:8])
+    raw_sh = jax.device_put(raw, NamedSharding(mesh, P(None, None, "data")))
+    s2_sh = jax.device_put(plan.prepare_s2(s2), NamedSharding(mesh, P("data")))
+    sharded = plan(raw_sh, s2_sh)
+    fused_sharded = np.asarray(sharded["fused_10m"])
+
+    assert fused_sharded.shape == (s2n, s2n, 3)
+    np.testing.assert_allclose(fused_sharded, fused_single,
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(sharded["coeffs"]),
+                               np.asarray(single["coeffs"]),
+                               atol=1e-4, rtol=1e-3)
