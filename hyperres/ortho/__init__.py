@@ -1,5 +1,7 @@
-from .pipeline import OrthoResult, orthorectify_granule, raster_meta, OBS_BAND_NAMES
+from .pipeline import (OrthoResult, convert_granules, orthorectify_granule,
+                       raster_meta, OBS_BAND_NAMES)
 from . import products
 
-__all__ = ["OrthoResult", "orthorectify_granule", "raster_meta",
+__all__ = ["OrthoResult", "convert_granules", "orthorectify_granule",
+           "raster_meta",
            "OBS_BAND_NAMES", "products"]
