@@ -36,6 +36,7 @@ class PrefetchToDevice:
         self._q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._iterated = False
 
     def _put(self, item) -> bool:
         """Bounded put that gives up when the consumer is gone — a
@@ -72,6 +73,15 @@ class PrefetchToDevice:
                     pass
 
     def __iter__(self) -> Iterator[Any]:
+        # single-shot: the source generator is consumed by the first
+        # pass, and _stop stays set after it — a silent second iteration
+        # would hang on the queue (the restarted worker exits without
+        # enqueueing the sentinel once _stop is set)
+        if self._iterated:
+            raise RuntimeError(
+                "PrefetchToDevice is single-use; build a new instance "
+                "(its source iterable is already consumed)")
+        self._iterated = True
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
         try:

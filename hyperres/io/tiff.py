@@ -499,10 +499,12 @@ class HttpRangeSource:
                          timeout=120)
         r.raise_for_status()
         content = r.content
-        if r.status_code == 200 and len(content) > end - start + 1:
-            # server ignored the Range header and sent the full body —
-            # slice locally instead of caching the file head as an
-            # arbitrary block (silent offset corruption otherwise)
+        if r.status_code == 200:
+            # server ignored the Range header: a 200 body always starts
+            # at byte 0, so slice locally regardless of its length
+            # (caching the file head as an arbitrary block corrupts
+            # offsets silently — including short bodies from reads past
+            # EOF on files smaller than the requested span)
             return content[start:end + 1]
         return content
 
