@@ -29,13 +29,15 @@ def _cmd_ortho(args) -> int:
 
     res = orthorectify_granule(
         args.granule, args.out_dir, args.s2,
-        obs_file=args.obs, export_loc=args.loc,
+        obs_file=args.obs, mask_file=args.mask, export_loc=args.loc,
         config=OrthoConfig(overwrite=args.overwrite,
                            save_geotiffs=not args.no_geotiffs,
-                           warp_kernel=args.warp_kernel),
+                           warp_kernel=args.warp_kernel,
+                           apply_band_mask=args.band_mask),
         save_info_path=Path(args.out_dir) / "ortho_info.json")
     print(json.dumps({"data_envi_bin": str(res.data_envi_bin),
                       "outputs": res.info.get("outputs", {}),
+                      "mask": res.info.get("mask"),
                       "stages": res.info.get("stages", {})}, indent=2))
     return 0
 
@@ -46,6 +48,7 @@ def _cmd_fuse(args) -> int:
 
     res = run_pair_pipeline(
         args.granule, args.s2_stack, args.out_dir,
+        mask_file=args.mask,
         fusion_config=PolyFusionConfig(degree=args.degree),
         tiling_config=TilingConfig(emit_tile_size=args.tile_size,
                                    max_black_frac=args.max_black_frac),
@@ -173,6 +176,11 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("out_dir")
     o.add_argument("--s2", required=True, help="S2 template GeoTIFF")
     o.add_argument("--obs", default=None)
+    o.add_argument("--mask", default=None,
+                   help="EMIT L2A mask granule: apply its quality mask "
+                        "(cloud/cirrus/spacecraft flags) to the cube")
+    o.add_argument("--band-mask", action="store_true",
+                   help="also apply the packed per-pixel band mask")
     o.add_argument("--loc", action="store_true")
     o.add_argument("--overwrite", action="store_true")
     o.add_argument("--no-geotiffs", action="store_true")
@@ -186,6 +194,8 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("granule")
     f.add_argument("s2_stack")
     f.add_argument("out_dir")
+    f.add_argument("--mask", default=None,
+                   help="EMIT L2A mask granule applied before fusion")
     f.add_argument("--degree", type=int, default=4)
     f.add_argument("--tile-size", type=int, default=100)
     f.add_argument("--max-black-frac", type=float, default=0.0)

@@ -51,6 +51,12 @@ class OrthoConfig:
     # OBS robust scaling percentiles + sampling stride (emit_proj.py:459-492)
     obs_percentiles: Tuple[float, float] = (1.0, 99.0)
     obs_sample_stride: int = 64
+    # L2A quality-mask flag bands applied when a mask granule is given
+    # (emit_tools.py:271-298; 0=cloud, 1=cirrus, 3=spacecraft — the
+    # LPDAAC tutorial selection; bands 5/6 are data bands and rejected)
+    quality_bands: Tuple[int, ...] = (0, 1, 3)
+    # also apply the packed per-pixel-per-band mask (emit_tools.py:301-321)
+    apply_band_mask: bool = False
 
 
 @dataclass(frozen=True)

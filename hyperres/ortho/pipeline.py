@@ -113,6 +113,35 @@ def _warp_chunk_update(utm, chunk, b0, flat_idx, valid, wr, wc, cstar,
         utm, w, (jnp.int32(0), jnp.int32(0), b0))
 
 
+@partial(jax.jit, donate_argnums=0,
+         static_argnames=("method", "kernel", "row_chunks"))
+def _warp_chunk_update_bandmask(utm, chunk2, b0, flat_idx, valid, wr, wc,
+                                cstar, method, kernel, row_chunks):
+    """Band-masked fold step: ``chunk2`` is [data * vb | vb] (2 nb
+    channels, vb the per-band 0/1 validity from the L2A band mask). Both
+    halves ride the SAME warp, so dividing the warped premultiplied data
+    by the warped validity renormalises each band's interpolation around
+    its masked sources — exact per-band-nodata gdalwarp semantics, with
+    zero extra gather traffic (just 2x matmul channels)."""
+    nb = chunk2.shape[-1] // 2
+    if kernel == "two_pass":
+        w = orthowarp_two_pass(chunk2, flat_idx, valid, wr, wc, cstar,
+                               method=method, fill=NO_DATA_VALUE)
+    else:
+        w = orthowarp_taploop(chunk2, flat_idx, valid, wr, wc,
+                              method=method, fill=NO_DATA_VALUE,
+                              row_chunks=row_chunks)
+    num = w[..., :nb]
+    den = w[..., nb:]
+    # den <= eps: every contributing source (or the whole pixel) was
+    # masked -> nodata. The eps absorbs cubic-lobe cancellation noise.
+    good = den > 1e-3
+    band = jnp.where(good, num / jnp.where(good, den, 1.0),
+                     jnp.float32(NO_DATA_VALUE))
+    return lax.dynamic_update_slice(
+        utm, band, (jnp.int32(0), jnp.int32(0), b0 // 2))
+
+
 @partial(jax.jit, static_argnames=("n_keep",))
 def _slice_bands(cube, n_keep):
     # no donation: the smaller output cannot alias the padded input
@@ -135,6 +164,7 @@ def orthorectify_granule(
     s2_grid: Union[Grid, str, Path],
     *,
     obs_file: Union[str, Path, None] = None,
+    mask_file: Union[str, Path, None] = None,
     export_loc: bool = False,
     config: OrthoConfig = OrthoConfig(),
     tag: Optional[str] = None,
@@ -142,7 +172,18 @@ def orthorectify_granule(
     keep_device_cube: bool = False,
 ) -> OrthoResult:
     """Full DATA (+ optional LOC / OBS) ortho export onto the S2-anchored
-    UTM 60 m grid. Returns the main projected ENVI path + info ledger."""
+    UTM 60 m grid. Returns the main projected ENVI path + info ledger.
+
+    ``mask_file``: optional EMIT L2A mask granule. Its quality mask
+    (``config.quality_bands`` flag bands, emit_tools.py:271-298) is
+    folded into the GLT validity channel, so masked raw pixels are
+    excluded from the warp's interpolation (nodata-aware gdalwarp
+    semantics) and end up nodata in the DATA product — and therefore
+    excluded from fusion fits, tile black-fraction checks and SR
+    training downstream (the reference applies the mask to the cube in
+    its notebooks before use). Set ``config.apply_band_mask`` to
+    additionally apply the packed per-pixel-per-band mask
+    (emit_tools.py:301-321) pointwise after the warp."""
     cfg = config
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -174,6 +215,7 @@ def orthorectify_granule(
     info: Dict = {
         "img_file": str(img_path),
         "obs_file": str(obs_file) if obs_file else None,
+        "mask_file": str(mask_file) if mask_file else None,
         "tag": tag,
         "backend": "hyperres-hdf5",
         "product": g.product,
@@ -185,6 +227,12 @@ def orthorectify_granule(
             "pixel_size_m": [cfg.target_res_m, cfg.target_res_m],
             "nodata": NO_DATA_VALUE,
             "resampling": cfg.resampling,
+            # ingest traceability: the streamed u16/u12 transfer is a
+            # (documented, sub-sensor-noise) lossy step versus f32, so
+            # the product ledger records which path produced the cube
+            "streaming_ingest": cfg.streaming_ingest,
+            "ingest_transfer": (cfg.ingest_transfer
+                                if cfg.streaming_ingest else "f32"),
         },
         "s2_align": {
             "s2_grid_extent": list(s2_grid.bounds),
@@ -269,50 +317,50 @@ def orthorectify_granule(
 
     def _export_product(cube_raw, kind: str, envi_path: Path,
                         hdr_extra: Dict,
-                        utm_precomputed=None) -> Tuple[np.ndarray, Grid]:
+                        utm_precomputed=None,
+                        valid_arg=None) -> Tuple[np.ndarray, Grid]:
         """gather -> warp -> ENVI write; returns the UTM cube.
         ``utm_precomputed`` skips straight to the write (the streamed
-        fold path already produced the device UTM cube)."""
+        fold path already produced the device UTM cube).
+        ``valid_arg`` overrides the GLT validity (quality-masked DATA)."""
+        va = valid_arg if valid_arg is not None else valid_j
         if utm_precomputed is not None:
-            if keep_device_cube and kind == "data":
-                device_holder["data"] = utm_precomputed
-            utm = np.asarray(utm_precomputed)
+            utm_dev = utm_precomputed
         elif use_two_pass:
             t = time.perf_counter()
             utm_dev = orthowarp_two_pass(
-                jnp.asarray(cube_raw, jnp.float32), flat_j, valid_j,
+                jnp.asarray(cube_raw, jnp.float32), flat_j, va,
                 wr_j, wc_j, cstar_j, method=cfg.resampling,
                 fill=NO_DATA_VALUE)
-            if keep_device_cube and kind == "data":
-                device_holder["data"] = utm_dev
-            utm = np.asarray(utm_dev)
             timer.record(f"{kind}_two_pass_orthowarp", t,
-                         shape=list(utm.shape), resampling=cfg.resampling)
+                         shape=list(utm_dev.shape),
+                         resampling=cfg.resampling)
         elif cfg.fused_orthowarp and cfg.resampling in ("cubic", "bilinear"):
             t = time.perf_counter()
             utm_dev = orthowarp_taploop(
-                jnp.asarray(cube_raw, jnp.float32), flat_j, valid_j,
+                jnp.asarray(cube_raw, jnp.float32), flat_j, va,
                 wr_j, wc_j, method=cfg.resampling, fill=NO_DATA_VALUE,
                 row_chunks=cfg.orthowarp_row_chunks)
-            if keep_device_cube and kind == "data":
-                device_holder["data"] = utm_dev
-            utm = np.asarray(utm_dev)
             timer.record(f"{kind}_fused_orthowarp", t,
-                         shape=list(utm.shape), resampling=cfg.resampling)
+                         shape=list(utm_dev.shape),
+                         resampling=cfg.resampling)
         else:
             t = time.perf_counter()
             ortho = glt_gather(jnp.asarray(cube_raw, jnp.float32), flat_j,
-                               valid_j, fill_value=NO_DATA_VALUE)
+                               va, fill_value=NO_DATA_VALUE)
             ortho.block_until_ready()
             timer.record(f"{kind}_gather", t,
                          shape=list(ortho.shape))
             t = time.perf_counter()
-            utm = resample_to_grid(ortho, g.ortho_grid, utm_grid,
-                                   method=cfg.resampling,
-                                   nodata=NO_DATA_VALUE,
-                                   fill=NO_DATA_VALUE)
-            timer.record(f"{kind}_warp", t, shape=list(utm.shape),
+            utm_dev = resample_to_grid(ortho, g.ortho_grid, utm_grid,
+                                       method=cfg.resampling,
+                                       nodata=NO_DATA_VALUE,
+                                       fill=NO_DATA_VALUE)
+            timer.record(f"{kind}_warp", t, shape=list(utm_dev.shape),
                          resampling=cfg.resampling)
+        if keep_device_cube and kind == "data":
+            device_holder["data"] = utm_dev
+        utm = np.asarray(utm_dev)
         t = time.perf_counter()
         envi.write_cube(
             envi_path, utm.astype(np.float32), utm_grid,
@@ -326,12 +374,107 @@ def orthorectify_granule(
 
     # ===== DATA =====
     if need_data:
+        # L2A quality / band masks (emit_tools.py:271-321). The quality
+        # mask (spatial, all bands) folds into the GLT validity channel:
+        # masked raw pixels simply stop being valid warp sources, so the
+        # resampler renormalises around them EXACTLY like a nodata-aware
+        # gdalwarp — no sentinel values ever enter the interpolation.
+        # The per-(pixel, band) band mask rides the warp as
+        # premultiplied validity planes (see _warp_chunk_update_bandmask).
+        read_bands = g.read_bands
+        data_valid_j = valid_j
+        vb = None
+        if mask_file is not None:
+            from ..io.granule import EmitMaskGranule
+            t0 = time.perf_counter()
+            with EmitMaskGranule(mask_file) as mg:
+                qmask = mg.quality_mask(cfg.quality_bands).astype(bool)
+                bmask = (mg.band_mask().astype(bool)
+                         if cfg.apply_band_mask else None)
+            if qmask.shape != (g.raw_height, g.raw_width):
+                raise ValueError(
+                    f"mask granule shape {qmask.shape} does not match "
+                    f"raw cube ({g.raw_height}, {g.raw_width})")
+            data_valid = valid & ~qmask.reshape(-1)[flat_idx]
+            data_valid_j = jnp.asarray(data_valid)
+            info["mask"] = {
+                "quality_bands": list(cfg.quality_bands),
+                "quality_masked_px": int(qmask.sum()),
+                "ortho_cells_quality_masked":
+                    int(valid.sum() - data_valid.sum()),
+                "band_mask_applied": bmask is not None,
+                "band_masked_px": 0,
+            }
+            if bmask is not None:
+                if bmask.shape[-1] < g.n_bands:
+                    raise ValueError(
+                        f"band mask has {bmask.shape[-1]} bands for a "
+                        f"{g.n_bands}-band cube")
+                bmask = bmask[:, :, :g.n_bands]
+                info["mask"]["band_masked_px"] = int(bmask.sum())
+                vb = (~bmask).astype(np.float32)
+                if not (cfg.fused_orthowarp
+                        and cfg.resampling in ("cubic", "bilinear")):
+                    raise ValueError(
+                        "apply_band_mask needs the fused orthowarp path "
+                        "(fused_orthowarp=True, cubic/bilinear)")
+            timer.record("mask_read", t0)
+
         raw = None
         utm_pre = None
         streaming = cfg.streaming_ingest and g.n_bands > cfg.band_chunk
         can_fold = (streaming and cfg.fused_orthowarp
                     and cfg.resampling in ("cubic", "bilinear"))
-        if can_fold:
+        if vb is not None:
+            # band-masked streamed fold: each chunk ships
+            # [data * vb | vb] and the fold renormalises per band
+            from ..io.ingest import stream_cube_fold
+            t0 = time.perf_counter()
+            kernel = "two_pass" if use_two_pass else "taploop"
+            cb = cfg.band_chunk
+            n_chunks = -(-g.n_bands // cb)
+            b_pad = n_chunks * cb
+            utm0 = jnp.full(
+                (utm_grid.height, utm_grid.width, b_pad),
+                jnp.float32(NO_DATA_VALUE))
+            cstar_arg = (cstar_j if cstar_j is not None
+                         else jnp.zeros((1, 1), jnp.float32))
+
+            def read2(b0, b1):
+                # b0 runs in DOUBLED band space (2*cb per chunk); each
+                # slab is a fixed-width [data*vb(cb) | vb(cb)] pair,
+                # zero-padded per half so every fold sees one shape
+                k = b0 // (2 * cb)
+                a0 = k * cb
+                a1 = min(a0 + cb, g.n_bands)
+                slab = np.asarray(g.read_bands(a0, a1), dtype=np.float32)
+                v = vb[:, :, a0:a1]
+                m = a1 - a0
+                if m < cb:
+                    z = np.zeros(slab.shape[:2] + (cb - m,), np.float32)
+                    return np.concatenate([slab * v, z, v, z], axis=-1)
+                return np.concatenate([slab * v, v], axis=-1)
+
+            def fold2(utm, x, b0):
+                return _warp_chunk_update_bandmask(
+                    utm, x, b0, flat_j, data_valid_j, wr_j, wc_j,
+                    cstar_arg, cfg.resampling, kernel,
+                    cfg.orthowarp_row_chunks)
+
+            utm_pre = stream_cube_fold(
+                read2, (g.raw_height, g.raw_width, n_chunks * 2 * cb),
+                fold2, utm0, transfer=cfg.ingest_transfer,
+                chunk_bands=2 * cb, depth=cfg.ingest_depth)
+            if b_pad != g.n_bands:
+                utm_pre = _slice_bands(utm_pre, g.n_bands)
+            utm_pre.block_until_ready()
+            timer.record("data_bandmasked_streamed_orthowarp", t0,
+                         transfer=cfg.ingest_transfer,
+                         chunk_bands=cfg.band_chunk, kernel=kernel,
+                         resampling=cfg.resampling,
+                         shape=[utm_grid.height, utm_grid.width,
+                                g.n_bands])
+        elif can_fold:
             # compute-overlapped ingest: each chunk's orthowarp runs
             # while the next chunk is read/quantized/shipped; the full
             # raw cube never materializes in HBM (peak = UTM cube + one
@@ -350,11 +493,12 @@ def orthorectify_granule(
 
             def fold(utm, x, b0):
                 return _warp_chunk_update(
-                    utm, x, b0, flat_j, valid_j, wr_j, wc_j, cstar_arg,
-                    cfg.resampling, kernel, cfg.orthowarp_row_chunks)
+                    utm, x, b0, flat_j, data_valid_j, wr_j, wc_j,
+                    cstar_arg, cfg.resampling, kernel,
+                    cfg.orthowarp_row_chunks)
 
             utm_pre = stream_cube_fold(
-                g.read_bands, (g.raw_height, g.raw_width, g.n_bands),
+                read_bands, (g.raw_height, g.raw_width, g.n_bands),
                 fold, utm0, transfer=cfg.ingest_transfer,
                 chunk_bands=cfg.band_chunk, depth=cfg.ingest_depth,
                 pad_to_chunk=True)
@@ -370,10 +514,11 @@ def orthorectify_granule(
         elif streaming:
             # chunked HDF5 reads overlapped with quantize + host->HBM
             # transfer and device-side assembly
-            from ..io.ingest import stream_granule_cube
+            from ..io.ingest import stream_cube_to_device
             t0 = time.perf_counter()
-            raw = stream_granule_cube(
-                g, transfer=cfg.ingest_transfer,
+            raw = stream_cube_to_device(
+                read_bands, (g.raw_height, g.raw_width, g.n_bands),
+                transfer=cfg.ingest_transfer,
                 chunk_bands=cfg.band_chunk, depth=cfg.ingest_depth)
             raw.block_until_ready()
             timer.record("data_stream_ingest", t0,
@@ -381,20 +526,24 @@ def orthorectify_granule(
                          chunk_bands=cfg.band_chunk,
                          depth=cfg.ingest_depth)
         else:
-            raw = g.read_cube()
+            raw = read_bands(0, g.n_bands)
         hdr_extra = {
             "description": description,
-            "wavelength": [float(x) for x in g.wavelengths],
-            "wavelength units": "nanometers",
             "sensor type": "EMIT",
             "start acquisition time": g.time_coverage_start,
             "end acquisition time": g.time_coverage_end,
             "bounding box": [f"{c[0]:.8f} {c[1]:.8f}" for c in corners],
         }
+        # wavelength-less granules (OBS/generic 3-D cubes run as the
+        # main product) simply omit the spectral header entries
+        if g.wavelengths is not None:
+            hdr_extra["wavelength"] = [float(x) for x in g.wavelengths]
+            hdr_extra["wavelength units"] = "nanometers"
         if g.fwhm is not None:
             hdr_extra["fwhm"] = [float(x) for x in g.fwhm]
         utm_cube, _ = _export_product(raw, "data", data_utm, hdr_extra,
-                                      utm_precomputed=utm_pre)
+                                      utm_precomputed=utm_pre,
+                                      valid_arg=data_valid_j)
         info["outputs"]["data_envi_bin"] = str(data_utm)
         info["outputs"]["data_envi_hdr"] = str(data_hdr)
         info["rasters"]["data_envi"] = raster_meta(
@@ -434,7 +583,8 @@ def orthorectify_granule(
                 start_time_utc=g.time_coverage_start or "",
                 end_time_utc=g.time_coverage_end or "",
                 bbox_lonlat=corners,
-                wavelengths=[float(x) for x in g.wavelengths],
+                wavelengths=([float(x) for x in g.wavelengths]
+                             if g.wavelengths is not None else None),
                 fwhm=[float(x) for x in g.fwhm] if g.fwhm is not None else None,
                 description=description)
             info["outputs"]["data_xml"] = str(data_utm.with_suffix(".xml"))
@@ -521,6 +671,7 @@ def convert_granules(
     s2_grid,
     *,
     obs_files=None,
+    mask_files=None,
     config: OrthoConfig = OrthoConfig(),
     export_loc: bool = False,
 ):
@@ -529,15 +680,20 @@ def convert_granules(
     failures, return [(path_or_None, info_dict), ...]."""
     results = []
     obs_files = obs_files or [None] * len(img_files)
+    mask_files = mask_files or [None] * len(img_files)
     if len(obs_files) != len(img_files):
         raise ValueError(
             f"obs_files has {len(obs_files)} entries for "
             f"{len(img_files)} granules (pad with None for granules "
             "without an OBS file)")
-    for img, obs in zip(img_files, obs_files):
+    if len(mask_files) != len(img_files):
+        raise ValueError(
+            f"mask_files has {len(mask_files)} entries for "
+            f"{len(img_files)} granules (pad with None)")
+    for img, obs, msk in zip(img_files, obs_files, mask_files):
         try:
             res = orthorectify_granule(
-                img, out_dir, s2_grid, obs_file=obs,
+                img, out_dir, s2_grid, obs_file=obs, mask_file=msk,
                 export_loc=export_loc, config=config)
             results.append((res.data_envi_bin, res.info))
         except Exception as e:  # record-and-continue

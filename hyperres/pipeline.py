@@ -299,9 +299,17 @@ def fuse_pair(
     t3 = time.perf_counter()
 
     # Phase 4: upsample the stretched sim bands to 10 m, apply the same
-    # mapping there
-    sim10 = resample_to_grid(emit_rgb_n, emit_grid, s2_grid,
-                             method="bilinear", nodata=None, fill=np.nan)
+    # mapping there. Invalid 60 m pixels (outside-swath sentinel values,
+    # which the clip-to-[0,1] stretch would otherwise smuggle through as
+    # 0.0) are excluded with nodata renormalisation — the same
+    # valid60-renormalised semantics as the fused engine, and the
+    # reference's masking intent (poly_regression.py:137-149 excludes
+    # non-positive sentinel garbage from its masks).
+    sim60_masked = np.where(valid60[..., None], emit_rgb_n,
+                            np.float32(NO_DATA_VALUE))
+    sim10 = resample_to_grid(sim60_masked, emit_grid, s2_grid,
+                             method="bilinear", nodata=NO_DATA_VALUE,
+                             fill=np.nan)
     mask10 = np.isfinite(sim10).all(axis=-1)
     fused_10m = np.array(apply_10m(np.nan_to_num(sim10), mask10))
     fused_10m[~mask10] = np.nan
@@ -351,6 +359,7 @@ def run_pair_pipeline(
     s2_stack_tif: Union[str, Path],
     out_root: Union[str, Path],
     *,
+    mask_file: Union[str, Path, None] = None,
     ortho_config: OrthoConfig = OrthoConfig(),
     fusion_config: PolyFusionConfig = PolyFusionConfig(),
     tiling_config: TilingConfig = TilingConfig(),
@@ -382,11 +391,14 @@ def run_pair_pipeline(
     # kept on-device for the fused fusion program)
     ortho_res = orthorectify_granule(
         emit_nc_path, run.local_emit_utm, s2_stack_tif,
+        mask_file=mask_file,
         config=ortho_config,
         save_info_path=run.local_meta / "ortho_info.json",
         keep_device_cube=(engine in ("auto", "fused")))
     report.section("Orthorectification", [
         f"product: {ortho_res.info.get('product')}",
+        *([f"quality mask: {ortho_res.info['mask']}"]
+          if "mask" in ortho_res.info else []),
         f"UTM grid: {ortho_res.utm_grid.width}x{ortho_res.utm_grid.height}"
         f" @ {ortho_res.utm_grid.dx} m",
         f"outputs: {list(ortho_res.info.get('outputs', {}))}",
@@ -445,6 +457,7 @@ def run_pair_pipeline(
                code_idx.get("B04", 2))
     fusion = fuse_pair(
         emit_cube, wl, emit_grid, s2_stack, s2_grid_c,
+        good_mask=ortho_res.good_mask,
         s2_rgb_band_idx=rgb_idx, s2_scale=s2_scale, s2_nodata=s2_nodata,
         config=fusion_config, engine=engine,
         fused_warm_run=fused_warm_run)

@@ -339,3 +339,38 @@ def make_scene(
         write_geotiff(scene.s2_tif_path, stack, s2_grid, nodata=-9999.0,
                       descriptions=descs, tiled=True)
     return scene
+
+
+def make_mask_granule(
+    out_path: Path,
+    raw_shape: Tuple[int, int],
+    *,
+    n_bands: int = EMIT_BANDS,
+    cloud_mask: "np.ndarray | None" = None,
+    cirrus_mask: "np.ndarray | None" = None,
+    band_mask: "np.ndarray | None" = None,
+) -> Path:
+    """Fabricate an EMIT L2A-style mask granule: 8 quality flag/data
+    bands (cloud=0, cirrus=1, dilated=2, spacecraft=3, AOD=4(data),
+    H2O=5(data), aggregate=6(data), padding) + the packed per-band mask
+    (emit_tools.py:271-321 layout, the envelope EmitMaskGranule reads)."""
+    h, w = raw_shape
+    mask = np.zeros((h, w, 8), dtype=np.float32)
+    if cloud_mask is not None:
+        mask[..., 0] = np.asarray(cloud_mask, dtype=np.float32)
+    if cirrus_mask is not None:
+        mask[..., 1] = np.asarray(cirrus_mask, dtype=np.float32)
+    if band_mask is None:
+        band_mask = np.zeros((h, w, n_bands), dtype=np.uint8)
+    bm = np.asarray(band_mask, dtype=np.uint8)
+    pad = (-bm.shape[-1]) % 8
+    if pad:
+        bm = np.concatenate(
+            [bm, np.zeros((h, w, pad), dtype=np.uint8)], axis=-1)
+    packed = np.packbits(bm, axis=-1)
+    wgr = HDF5Writer(Path(out_path))
+    wgr.create_dataset("/mask", mask,
+                       attrs={"units": "flag", "_FillValue": np.float32(-9999.0)})
+    wgr.create_dataset("/band_mask", packed)
+    wgr.save()
+    return Path(out_path)
