@@ -2,26 +2,31 @@
 to 10 m on one chip — the BASELINE.md north-star workload
 ("full granule ortho + SRF synth + fusion to 10 m < 2 s, 1x TPU v5e").
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-value is the end-to-end device pipeline wall-clock (after compilation)
-and vs_baseline = north_star_seconds / value (>1 means faster than the
-2 s target).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+where value is the end-to-end device pipeline wall-clock (after
+compilation) and vs_baseline = north_star_seconds / value (>1 means
+faster than the 2 s target).
 
-Scene: synthetic full-granule scale (raw 1242x1280x285, the implied real
-EMIT granule size, SURVEY.md section 6) generated in memory. Stages
-timed (all device, one warm-up iteration for compile):
-  1. GLT gather of the 285-band cube onto the geographic ortho grid,
-  2. cubic warp onto the S2-anchored UTM 60 m grid (2-step like the
-     reference's gdalwarp path),
-  3. SRF band synthesis (B2/B3/B4) as the trapz-weight matmul,
-  4. shared percentile stretch + Sinkhorn OT (5000x5000, reg 0.05) +
-     degree-4 polynomial fit,
-  5. bilinear upsample of the matched bands to the 10 m grid + polyval.
+The timed program is the SHIPPED library pipeline —
+``hyperres.fusion.fused.FusedOrthoFusionPlan`` — not a bench-private
+twin: GLT ortho + cubic warp onto the S2-anchored UTM grid, SRF
+synthesis, real-S2 average downsample to 60 m (phase 2), validity
+intersection, shared stretch, Sinkhorn OT (5000x5000, reg 0.05) with
+weighted degree-4 polynomial fit, bilinear upsample + apply at 10 m.
+``tests/test_bench_workload.py`` runs this same workload builder at
+reduced scale in CI and checks it against the phase-wise reference
+path.
+
+Scene: synthetic full-granule scale (raw 1242x1280x285, the implied
+real EMIT granule size, SURVEY.md section 6) generated in memory,
+including the real 10 m Sentinel-2 RGB input (uint16 DN, the production
+wire format) that phase 2 consumes.
 
 Environment knobs: HYPERRES_BENCH_SCALE (default 1.0) scales the raw
 granule dims for quick smoke runs; HYPERRES_BENCH_WARP ("two_pass"
-default, "taploop" for the exact gather kernel); HYPERRES_BENCH_RUNS,
-HYPERRES_BENCH_STAGES, HYPERRES_BENCH_U16_UPLOAD.
+default, "taploop" for the exact gather kernel, "pallas" for the
+Pallas scanline backend); HYPERRES_BENCH_RUNS, HYPERRES_BENCH_STAGES,
+HYPERRES_BENCH_TRANSFER (u16 default | u12 | f32 raw-cube ingest).
 """
 
 import json
@@ -36,48 +41,32 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    t_setup0 = time.perf_counter()
-    import jax
-    import jax.numpy as jnp
+def build_workload(scale: float = 1.0, warp_kernel: str = "two_pass",
+                   seed: int = 0, config=None):
+    """Synthesize the full-granule bench scene and build the SHIPPED
+    pipeline plan over it.
 
-    from hyperres.utils import enable_compilation_cache
-    enable_compilation_cache()  # repeat runs skip the minutes-scale
-    #                             axon warm-up compile entirely
-
-    from hyperres.core.config import OTConfig
-    from hyperres.core.grid import s2_anchored_target_grid
-    from hyperres.fusion.sampling import sample_valid_pixels_device
-    from hyperres.kernels.glt import prepare_glt
-    from hyperres.kernels.lstsq import polyfit, polyval_channels
-    from hyperres.kernels.sinkhorn import ot_barycentric_targets
-    from hyperres.kernels.srf import build_srf_weight_matrix, srf_synthesize
-    from hyperres.kernels.stats import shared_percentile_stretch
-    from hyperres.kernels.warp import (
-        orthowarp_taploop, orthowarp_two_pass, scanline_cstar,
-        separable_index_axes, separable_resample_matmul,
-        separable_weight_matrix, source_index_field,
-    )
+    Returns a dict with the plan (FusedOrthoFusionPlan), the host raw
+    cube, the 10 m S2 RGB stack as uint16 DN (scale 1e-4, nodata 65535
+    — the reference's download format, s2_data/s2_utils.py:505-614),
+    and the three grids. Importable by CI tests so the benched program
+    and the tested program are the same object.
+    """
+    from hyperres.core.crs import CRS
+    from hyperres.core.grid import Grid, s2_anchored_target_grid
+    from hyperres.fusion.fused import FusedOrthoFusionPlan
+    from hyperres.kernels.srf import build_srf_weight_matrix
     from hyperres.spectral import builtin_srf
     from hyperres.testing import scenes
 
-    scale = float(os.environ.get("HYPERRES_BENCH_SCALE", "1.0"))
+    rng = np.random.default_rng(seed)
     raw_h = max(64, int(1242 * scale))
     raw_w = max(64, int(1280 * scale))
     n_bands = 285
-    north_star_s = 2.0
 
-    devs = jax.devices()
-    log(f"devices: {devs}")
-
-    # ---------------- host: synthesize a full-scale scene ----------------
-    log(f"generating scene raw={raw_h}x{raw_w}x{n_bands} ...")
-    rng = np.random.default_rng(0)
     wl, good = scenes.emit_wavelength_grid(n_bands)
     spectra = scenes.endmember_spectra(wl)
 
-    from hyperres.core.crs import CRS
-    from hyperres.core.grid import Grid
     utm = CRS.utm(33, True)
     # swath geometry like the scene factory, sized to the raw dims
     cx, cy = 450000.0, 5770000.0
@@ -109,7 +98,6 @@ def main():
     ow = int(np.ceil((float(lon.max()) + res_x - lon0) / res_x))
     oh = int(np.ceil((lat0 - (float(lat.min()) - res_y)) / res_y))
     ortho_grid = Grid(CRS.geographic(), lon0, lat0, res_x, res_y, ow, oh)
-    log(f"ortho grid: {oh}x{ow}")
 
     # GLT (1-based) for the ortho grid
     oxs, oys = ortho_grid.pixel_center_coords()
@@ -133,81 +121,79 @@ def main():
     s2_h = int((s2_y0 - float(ouy.min())) // 10.0)
     s2_grid = Grid(utm, s2_x0, s2_y0, 10.0, 10.0, s2_w, s2_h)
     utm60 = s2_anchored_target_grid(ortho_grid, s2_grid, 60.0, 60.0)
-    log(f"UTM 60 m grid: {utm60.height}x{utm60.width}; "
-        f"10 m grid: {s2_h}x{s2_w}")
 
-    # real S2 RGB at 60 m (serves as the fusion target; the downsample
-    # phase is folded in by sampling the world straight at 60 m)
-    uxs, uys = utm60.pixel_center_coords()
-    UX, UY = np.meshgrid(uxs, uys)
-    a60 = scenes.abundance_maps(UX, UY)
+    # real S2 RGB at 10 m (B2, B3, B4): the world convolved with the
+    # S2 SRFs, delivered as uint16 DN at scale 1e-4 — the format the
+    # production pipeline ingests. Built row-blocked in f32 to bound
+    # host RSS at full scale (85 Mpx x 4 abundance fields).
     srf3 = builtin_srf("S2A", bands=["B2", "B3", "B4"])
     W3, _, _ = build_srf_weight_matrix(wl, srf3, good)
-    s2_rgb_60 = np.clip(a60 @ (spectra @ np.asarray(W3)), 0, 1).astype(
-        np.float32)  # (H60, W60, 3) in B2,B3,B4 order
-    del a60
+    band_spec = (spectra @ np.asarray(W3)).astype(np.float32)  # (K, 3)
+    sxs, sys_ = s2_grid.pixel_center_coords()
+    s2_dn = np.empty((3, s2_h, s2_w), dtype=np.uint16)
+    blk = max(1, int(2e7) // max(1, s2_w))
+    for r0 in range(0, s2_h, blk):
+        r1 = min(r0 + blk, s2_h)
+        SX, SY = np.meshgrid(sxs, sys_[r0:r1])
+        a_blk = scenes.abundance_maps(SX, SY).astype(np.float32)
+        rgb = np.clip(a_blk @ band_spec, 0.0, 1.0)
+        s2_dn[:, r0:r1, :] = np.moveaxis(
+            np.clip(np.rint(rgb * 10000.0), 0, 65534), -1, 0
+        ).astype(np.uint16)
 
-    # host-precomputed index fields (f64 CRS math -> f32 indices)
-    flat_idx, valid = prepare_glt(glt, (raw_h, raw_w))
-    wr, wc = source_index_field(ortho_grid, utm60)  # TM inverse field
+    from hyperres.core.config import PolyFusionConfig
+    plan = FusedOrthoFusionPlan(
+        ortho_grid, utm60, s2_grid, (raw_h, raw_w), glt, wl, good,
+        s2_nodata=65535.0, s2_scale=1e-4, warp_kernel=warp_kernel,
+        config=config if config is not None else PolyFusionConfig())
+    return {
+        "plan": plan,
+        "raw": raw,
+        "s2_dn": s2_dn,
+        "wavelengths": wl,
+        "good_mask": good,
+        "spectra": spectra,
+        "ortho_grid": ortho_grid,
+        "utm60": utm60,
+        "s2_grid": s2_grid,
+        "glt": glt,
+    }
+
+
+def main():
+    t_setup0 = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+
+    from hyperres.utils import enable_compilation_cache
+    cache_dir = enable_compilation_cache()  # repeat runs skip the
+    #                      minutes-scale axon warm-up compile entirely
+    log(f"compile cache: {cache_dir}")
+
+    scale = float(os.environ.get("HYPERRES_BENCH_SCALE", "1.0"))
     warp_kernel = os.environ.get("HYPERRES_BENCH_WARP", "two_pass")
-    cstar = (scanline_cstar(wr, wc, ortho_grid.height)
-             if warp_kernel == "two_pass" else None)
-    sep = separable_index_axes(utm60, s2_grid)
+    north_star_s = 2.0
+
+    devs = jax.devices()
+    log(f"devices: {devs}")
+
+    log(f"generating scene + plan (scale {scale}) ...")
+    wk = build_workload(scale, warp_kernel)
+    plan = wk["plan"]
+    raw = wk["raw"]
+    utm60 = wk["utm60"]
+    s2_grid = wk["s2_grid"]
+    log(f"raw {raw.shape}; UTM 60 m grid: {utm60.height}x{utm60.width}; "
+        f"10 m grid: {s2_grid.height}x{s2_grid.width}")
     t_setup = time.perf_counter() - t_setup0
     log(f"setup done in {t_setup:.1f}s")
 
-    # ---------------- device pipeline ----------------
-    # One jitted program produces BOTH the 285-band UTM DATA product and
-    # the fused 10 m output; XLA then manages all intermediate liveness,
-    # and only the two outputs survive the launch. (The remote axon
-    # backend frees buffers asynchronously, so multi-program structures
-    # with large cross-program arrays proved OOM-prone.)
-    ot_cfg = OTConfig()
-
-    def full_pipeline(raw_j, flat_j, valid_j, wr_j, wc_j, cstar_j, W_j,
-                      s2rgb_j, Wr10, Wc10, key):
-        # 1+2. fused GLT + cubic warp straight to the S2-anchored grid.
-        # two_pass: Catmull-Smith scanline warp as banded MXU matmuls
-        # (default; ~2.6x the taploop gather kernel, sub-1e-3 deviation
-        # at nodata boundaries only); taploop: exact gather kernel.
-        if warp_kernel == "two_pass":
-            utm_cube = orthowarp_two_pass(raw_j, flat_j, valid_j, wr_j,
-                                          wc_j, cstar_j, method="cubic",
-                                          fill=-9999.0)
-        else:
-            utm_cube = orthowarp_taploop(raw_j, flat_j, valid_j, wr_j,
-                                         wc_j, method="cubic",
-                                         fill=-9999.0, row_chunks=64)
-        # 3. SRF synthesis -> B2,B3,B4 at 60 m (MXU matmul)
-        synth = srf_synthesize(utm_cube, W_j, fast=True)
-        valid60 = (utm_cube[..., 0] != -9999.0)
-        # 4. shared stretch + Sinkhorn OT + degree-4 polynomial fit
-        sim_n = shared_percentile_stretch(synth[..., ::-1], valid60)
-        ref_n = shared_percentile_stretch(s2rgb_j[..., ::-1], valid60)
-        k1, k2 = jax.random.split(key)
-        Xs, _ = sample_valid_pixels_device(sim_n, valid60,
-                                           ot_cfg.n_samples, k1)
-        Ys, _ = sample_valid_pixels_device(ref_n, valid60,
-                                           ot_cfg.n_samples, k2)
-        Ybar = ot_barycentric_targets(Xs, Ys, reg=ot_cfg.reg,
-                                      num_itermax=ot_cfg.num_itermax,
-                                      stop_thr=ot_cfg.stop_thr)
-        coeffs = jnp.stack([polyfit(Xs[:, c], Ybar[:, c], 4)
-                            for c in range(3)])
-        # 5. 10 m upsample as two MXU matmuls + polyval
-        sim10 = separable_resample_matmul(sim_n, Wr10, Wc10, fill=jnp.nan)
-        fused = jnp.clip(polyval_channels(coeffs, sim10), 0.0, 1.0)
-        return utm_cube, fused, coeffs
-
-    jitted = jax.jit(full_pipeline)
-
+    # ---------------- ingest (production transfer path) ----------------
     log("uploading inputs ...")
     t_up0 = time.perf_counter()
-    # production transfer path: chunked per-band-affine u16 quantization
-    # overlapped with host->HBM transfer and device-side assembly
-    # (hyperres.io.ingest — the same path orthorectify_granule uses).
-    # HYPERRES_BENCH_TRANSFER=f32 ships the raw float cube instead.
+    # raw cube: chunked per-band-affine u16 quantization overlapped with
+    # host->HBM transfer and device-side assembly (hyperres.io.ingest —
+    # the same path orthorectify_granule uses).
     transfer = os.environ.get("HYPERRES_BENCH_TRANSFER", "u16")
     if os.environ.get("HYPERRES_BENCH_U16_UPLOAD") == "0":  # back-compat
         transfer = "f32"
@@ -216,43 +202,41 @@ def main():
         lambda b0, b1: raw[..., b0:b1], raw.shape, transfer=transfer,
         chunk_bands=32, depth=3)
     raw_j.block_until_ready()
+    t_raw_ingest = time.perf_counter() - t_up0
+    log(f"raw cube streamed in {t_raw_ingest:.2f}s ({transfer})")
+    # S2 RGB stack: already uint16 DN on the wire (the production disk /
+    # download format); scaled to reflectance on device by prepare_s2
+    t_s2_0 = time.perf_counter()
+    s2_dn_j = jax.device_put(wk["s2_dn"])
+    s2rgb_j = plan.prepare_s2(s2_dn_j)
+    jax.block_until_ready(s2rgb_j)
+    s2_dn_j.delete()
+    t_s2_ingest = time.perf_counter() - t_s2_0
     t_ingest = time.perf_counter() - t_up0
-    log(f"raw cube streamed in {t_ingest:.2f}s ({transfer})")
-    flat_j = jax.device_put(flat_idx)
-    valid_j = jax.device_put(valid)
-    wr_j = jax.device_put(wr)
-    wc_j = jax.device_put(wc)
-    cstar_j = (jax.device_put(cstar) if cstar is not None
-               else jnp.zeros((1, 1), jnp.float32))
-    W_j = jax.device_put(np.asarray(W3))
-    s2rgb_j = jax.device_put(s2_rgb_60)
-    Wr10 = jax.device_put(separable_weight_matrix(
-        sep[0], utm60.height, "bilinear"))
-    Wc10 = jax.device_put(separable_weight_matrix(
-        sep[1], utm60.width, "bilinear"))
-    key = jax.random.PRNGKey(0)
-    jax.block_until_ready((raw_j, flat_j, wr_j, s2rgb_j, Wr10))
-    t_upload = time.perf_counter() - t_up0
-    log(f"upload done in {t_upload:.2f}s "
-        f"({raw.nbytes * {'u16': 0.5, 'u12': 0.375, 'f32': 1.0}[transfer] / 1e9:.2f} GB "
-        f"{transfer} raw cube)")
+    wire_gb = (raw.nbytes * {"u16": 0.5, "u12": 0.375, "f32": 1.0}[transfer]
+               + wk["s2_dn"].nbytes) / 1e9
+    log(f"upload done in {t_ingest:.2f}s ({wire_gb:.2f} GB on the wire: "
+        f"{transfer} raw cube + u16 S2 stack {t_s2_ingest:.2f}s)")
 
     jit_probe = jax.jit(lambda x: x[::997, ::997])
 
+    def release(out):
+        for leaf in jax.tree_util.tree_leaves(out):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+        _ = float(jnp.sum(jnp.zeros(8)))  # hard sync
+        time.sleep(2.0)  # let async frees land on the remote backend
+
     log("compiling + warmup ...")
     t_c0 = time.perf_counter()
-    utm_cube, fused, coeffs = jitted(raw_j, flat_j, valid_j, wr_j, wc_j,
-                                     cstar_j, W_j, s2rgb_j, Wr10, Wc10,
-                                     key)
-    jax.block_until_ready(fused)
-    _ = np.asarray(jit_probe(fused))
-    utm_shape = utm_cube.shape
-    utm_cube.delete()
-    fused.delete()
-    del utm_cube, fused, coeffs
-    _ = float(jnp.sum(jnp.zeros(8)))  # hard sync
-    time.sleep(2.0)                   # let async frees land on the remote
-    log(f"warmup (incl. compile): {time.perf_counter() - t_c0:.2f}s; "
+    out = plan(raw_j, s2rgb_j, key=jax.random.PRNGKey(0))
+    jax.block_until_ready(out["fused_10m"])
+    _ = np.asarray(jit_probe(out["fused_10m"]))
+    t_compile = time.perf_counter() - t_c0
+    utm_shape = out["utm_cube"].shape
+    release(out)
+    del out
+    log(f"warmup (incl. compile): {t_compile:.2f}s; "
         f"UTM product {utm_shape}")
 
     if os.environ.get("HYPERRES_BENCH_STAGES"):
@@ -265,94 +249,22 @@ def main():
             _ = np.asarray(tiny(z))
             log(f"tunnel noop roundtrip: {time.perf_counter() - t0:.3f}s")
 
-        # diagnostic: time each stage as its own program
-        def stage_ortho(raw_j, flat_j, valid_j, wr_j, wc_j):
-            if warp_kernel == "two_pass":
-                return orthowarp_two_pass(raw_j, flat_j, valid_j, wr_j,
-                                          wc_j, cstar_j, method="cubic",
-                                          fill=-9999.0)
-            return orthowarp_taploop(raw_j, flat_j, valid_j, wr_j, wc_j,
-                                     method="cubic", fill=-9999.0,
-                                     row_chunks=64)
-
-        def stage_fit(utm_cube, W_j, s2rgb_j, key):
-            synth = srf_synthesize(utm_cube, W_j, fast=True)
-            valid60 = (utm_cube[..., 0] != -9999.0)
-            sim_n = shared_percentile_stretch(synth[..., ::-1], valid60)
-            ref_n = shared_percentile_stretch(s2rgb_j[..., ::-1], valid60)
-            k1, k2 = jax.random.split(key)
-            Xs, _ = sample_valid_pixels_device(sim_n, valid60,
-                                               ot_cfg.n_samples, k1)
-            Ys, _ = sample_valid_pixels_device(ref_n, valid60,
-                                               ot_cfg.n_samples, k2)
-            Ybar = ot_barycentric_targets(Xs, Ys, reg=ot_cfg.reg,
-                                          num_itermax=ot_cfg.num_itermax,
-                                          stop_thr=ot_cfg.stop_thr)
-            coeffs = jnp.stack([polyfit(Xs[:, c], Ybar[:, c], 4)
-                                for c in range(3)])
-            return sim_n, coeffs
-
-        def stage_up(sim_n, coeffs, Wr10, Wc10):
-            sim10 = separable_resample_matmul(sim_n, Wr10, Wc10,
-                                              fill=jnp.nan)
-            return jnp.clip(polyval_channels(coeffs, sim10), 0.0, 1.0)
-
-        # stage-at-a-time: warm up, time, free the warm-up result, and
-        # sync before moving on, so only one stage's intermediates plus
-        # the chain's carry live at once (the remote backend frees
-        # buffers asynchronously — holding all three stage outputs OOMs)
-        def timed_stage(name, fn, *args):
-            warm = fn(*args)
-            jax.block_until_ready(warm)
-            time.sleep(1.0)
-            t0 = time.perf_counter()
-            out = fn(*args)
-            jax.block_until_ready(out)
-            _ = np.asarray(jax.tree_util.tree_leaves(out)[0][:1, :1])
-            log(f"stage {name}: {time.perf_counter() - t0:.3f}s")
-            for leaf in jax.tree_util.tree_leaves(warm):
-                leaf.delete()
-            _ = float(jnp.sum(jnp.zeros(8)))
-            time.sleep(2.0)
-            return out
-
-        try:
-            u = timed_stage("orthowarp", jax.jit(stage_ortho), raw_j,
-                            flat_j, valid_j, wr_j, wc_j)
-            sim_n, coeffs_s = timed_stage("srf+stretch+ot+fit",
-                                          jax.jit(stage_fit), u, W_j,
-                                          s2rgb_j, key)
-            u.delete()
-            fz = timed_stage("upsample+apply", jax.jit(stage_up), sim_n,
-                             coeffs_s, Wr10, Wc10)
-            fz.delete()
-            sim_n.delete()
-            _ = float(jnp.sum(jnp.zeros(8)))
-            time.sleep(2.0)
-        except Exception as exc:  # diagnostics must never kill the bench
-            log(f"stage diagnostics failed: {exc!r}")
-
     n_runs = max(1, int(os.environ.get("HYPERRES_BENCH_RUNS", "1")))
     times = []
     fused_np = coeffs_np = fused_shape = None
     for i in range(n_runs):
         run_key = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
-        utm_cube, fused, coeffs = jitted(raw_j, flat_j, valid_j, wr_j,
-                                         wc_j, cstar_j, W_j, s2rgb_j,
-                                         Wr10, Wc10, run_key)
-        jax.block_until_ready(fused)
-        _ = np.asarray(jit_probe(fused))
+        out = plan(raw_j, s2rgb_j, key=run_key)
+        jax.block_until_ready(out["fused_10m"])
+        _ = np.asarray(jit_probe(out["fused_10m"]))
         times.append(time.perf_counter() - t0)
-        fused_shape = fused.shape
+        fused_shape = out["fused_10m"].shape
         if i == n_runs - 1:
-            fused_np = np.asarray(fused)
-            coeffs_np = np.asarray(coeffs)
-        utm_cube.delete()
-        fused.delete()
-        del utm_cube, fused, coeffs
-        _ = float(jnp.sum(jnp.zeros(8)))
-        time.sleep(2.0)
+            fused_np = np.asarray(out["fused_10m"])
+            coeffs_np = np.asarray(out["coeffs"])
+        release(out)
+        del out
     elapsed = min(times)
     log(f"runs: {[f'{t:.3f}' for t in times]}; fused shape {fused_shape}")
 
@@ -366,12 +278,19 @@ def main():
         "value": round(elapsed, 4),
         "unit": "seconds",
         "vs_baseline": round(north_star_s / elapsed, 3),
-        # honest steady-state numbers on this host/tunnel: the raw-cube
-        # host->HBM ingest (streamed, u16-quantized by default) and the
-        # ingest-inclusive wall clock for a fresh granule
+        # honest steady-state numbers on this host/tunnel: the input
+        # host->HBM ingest (streamed, u16-quantized by default; raw
+        # cube + 10 m S2 stack) and the ingest-inclusive wall clock
+        # for a fresh granule pair
         "ingest_s": round(t_ingest, 3),
         "ingest_inclusive_s": round(t_ingest + elapsed, 3),
         "transfer": transfer,
+        # one-time costs, surfaced so they are visible (compile_s drops
+        # to seconds when the persistent cache in-repo survives)
+        "compile_s": round(t_compile, 2),
+        "setup_s": round(t_setup, 2),
+        "engine": "FusedOrthoFusionPlan",
+        "warp_kernel": warp_kernel,
     }))
 
 

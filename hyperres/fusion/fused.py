@@ -12,10 +12,14 @@ phases).
 This module makes that single program the *library* path:
 
 - :class:`FusedFusionPlan` — phases 1-4 of ``fuse_pair`` as one jitted
-  program over an EMIT cube already on the 60 m grid;
-- :class:`FusedOrthoFusionPlan` — the full granule program (GLT ortho +
-  cubic warp + fusion) used by ``bench.py`` and ``run_pair_pipeline``
-  when no host stage (e.g. coregistration) must interleave.
+  program over an EMIT cube already on the 60 m grid. This is what
+  ``run_pair_pipeline`` runs (its ortho stage streams chunks through
+  the fold ingest and hands the device-resident UTM cube over, so the
+  raw cube never needs to sit whole in HBM);
+- :class:`FusedOrthoFusionPlan` — the full raw->fused granule program
+  (GLT ortho + cubic warp + fusion) for callers holding the raw cube
+  on device: ``bench.py`` times exactly this plan, and the driver
+  dryrun GSPMD-partitions it over the device mesh.
 
 Plans precompute every host-side matrix once (SRF trapz weights,
 separable average/bilinear resampling matrices, warp index fields); the
@@ -87,6 +91,7 @@ class WarpStatics:
     warp_kernel: str     # "two_pass" | "taploop"
     resampling: str      # "cubic" | "bilinear"
     row_chunks: int
+    backend: str = "auto"  # two-pass einsum backend: "auto"/"xla"/"pallas"
 
 
 def _affine_fit_weighted(X: jax.Array, Y: jax.Array,
@@ -208,7 +213,8 @@ def _orthofusion_program(st: FusionStatics, warp: WarpStatics, raw_hwb,
     if warp.warp_kernel == "two_pass":
         utm_cube = orthowarp_two_pass(
             raw_hwb, flat_idx, valid, wr, wc, cstar,
-            method=warp.resampling, fill=NO_DATA_VALUE)
+            method=warp.resampling, fill=NO_DATA_VALUE,
+            backend=warp.backend)
     else:
         utm_cube = orthowarp_taploop(
             raw_hwb, flat_idx, valid, wr, wc, method=warp.resampling,
@@ -368,9 +374,14 @@ class FusedOrthoFusionPlan:
         wr, wc = source_index_field(ortho_grid, utm_grid)
         self._wr = jnp.asarray(wr)
         self._wc = jnp.asarray(wc)
+        # "pallas" selects the two-pass scanline decomposition with the
+        # Pallas VMEM-weight einsum backend (kernels.pallas_ops)
+        backend = "auto"
+        if warp_kernel == "pallas":
+            warp_kernel, backend = "two_pass", "pallas"
         self.warp_statics = WarpStatics(
             warp_kernel=warp_kernel, resampling=resampling,
-            row_chunks=orthowarp_row_chunks)
+            row_chunks=orthowarp_row_chunks, backend=backend)
         self._cstar = (jnp.asarray(scanline_cstar(wr, wc,
                                                   ortho_grid.height))
                        if warp_kernel == "two_pass"

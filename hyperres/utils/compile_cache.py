@@ -31,9 +31,15 @@ def enable_compilation_cache(
         return None
     import jax
 
+    # default location: INSIDE the repo checkout (survives environment /
+    # container recreation, which the home cache demonstrably does not),
+    # falling back to the home cache for installed (non-checkout) uses
+    default = Path(__file__).resolve().parents[2] / ".jaxcache"
+    if not (default.parent / "hyperres").is_dir():  # not a checkout
+        default = Path.home() / ".cache" / "hyperres" / "jaxcache"
     d = Path(cache_dir
              or os.environ.get("HYPERRES_COMPILE_CACHE_DIR")
-             or Path.home() / ".cache" / "hyperres" / "jaxcache")
+             or default)
     d.mkdir(parents=True, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", str(d))
     # cache every program regardless of size, and anything that took
