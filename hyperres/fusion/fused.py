@@ -59,7 +59,7 @@ from ..kernels.warp import (
 )
 from .sampling import sample_valid_pixels_device
 
-FUSED_METHODS = ("ot_poly", "ot_affine", "linear")
+FUSED_METHODS = ("ot_poly", "ot_affine", "linear", "histogram")
 
 
 class FusedUnsupported(ValueError):
@@ -149,7 +149,7 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
             # identity fallback under min_pixels (poly_regression.py:38-41)
             params = jnp.where(n_valid >= st.min_pixels, fit, ident)
 
-            def apply(x):
+            def apply(x, m):
                 return polyval_channels(params, x)
         else:
             A, t = _affine_fit_weighted(
@@ -158,8 +158,19 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
             t = jnp.where(n_valid >= 2, t, jnp.zeros_like(t))
             params = jnp.concatenate([A, t[None, :]], axis=0)
 
-            def apply(x):
+            def apply(x, m):
                 return x @ params[:-1] + params[-1]
+    elif st.fusion_method == "histogram":
+        # per-channel CDF transfer against the 60 m stretched reference
+        # (color.py:36-63); the 10 m product ranks its own pixels but
+        # maps into the SAME 60 m reference distribution the 60 m match
+        # used — consistent normalization across resolutions
+        from .histogram import _match_rgb_device
+
+        params = jnp.zeros((c, 1), jnp.float32)  # non-parametric
+
+        def apply(x, m):
+            return _match_rgb_device(x, m, s2_n, valid60)
     elif st.fusion_method == "linear":
         flat_v = valid60.reshape(-1)
         abs_ = []
@@ -173,13 +184,14 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
             abs_.append(jnp.stack([a_c, b_c]))
         params = jnp.stack(abs_)  # (C, 2): a, b per channel
 
-        def apply(x):
+        def apply(x, m):
             return x * params[:, 0] + params[:, 1]
     else:  # pragma: no cover - guarded in the plan constructor
         raise FusedUnsupported(st.fusion_method)
 
     matched60 = jnp.clip(
-        jnp.where(valid60[..., None], apply(emit_n), emit_n), 0.0, 1.0)
+        jnp.where(valid60[..., None], apply(emit_n, valid60), emit_n),
+        0.0, 1.0)
     # Phase 4: bilinear upsample of the stretched sim bands to 10 m,
     # apply the same mapping there. valid60-renormalised: invalid
     # sources (NaN swaths or sentinel nodata) contribute nothing instead
@@ -188,7 +200,7 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
     sim10 = separable_resample_matmul(emit_n, Wr10, Wc10, fill=jnp.nan,
                                       valid_mask=valid60)
     mask10 = jnp.isfinite(sim10).all(axis=-1)
-    mapped10 = jnp.clip(apply(jnp.nan_to_num(sim10)), 0.0, 1.0)
+    mapped10 = jnp.clip(apply(jnp.nan_to_num(sim10), mask10), 0.0, 1.0)
     fused = jnp.where(mask10[..., None], mapped10, jnp.nan)
     out = {"fused_10m": fused, "matched_60m": matched60,
            "coeffs": params, "n_valid_60m": n_valid}

@@ -187,10 +187,10 @@ def fuse_pair(
     - 'linear'    — per-channel linear calibration (demo cells 65/72),
     - 'histogram' — per-channel CDF matching (color.py:36-63).
     ``engine``: 'fused' runs all four phases as ONE jitted device
-    program (the benchmarked fast path; same-CRS grids, ot_poly /
-    ot_affine / linear only); 'phases' is the stage-wise reference-shaped
-    path (host round-trips between phases, exact host-RNG OT sampling);
-    'auto' picks 'fused' when supported."""
+    program (the benchmarked fast path; same-CRS axis-aligned grids —
+    all four fusion methods supported); 'phases' is the stage-wise
+    reference-shaped path (host round-trips between phases, exact
+    host-RNG OT sampling); 'auto' picks 'fused' when supported."""
     cfg = config
     if engine not in ("auto", "fused", "phases"):
         raise ValueError(f"Unknown engine {engine!r}")

@@ -46,7 +46,8 @@ def ortho(scene, tmp_path_factory):
     return res, r, cube, stack, s2_grid, nodata
 
 
-@pytest.mark.parametrize("method", ["ot_poly", "ot_affine", "linear"])
+@pytest.mark.parametrize("method",
+                         ["ot_poly", "ot_affine", "linear", "histogram"])
 def test_engine_parity(ortho, method):
     res, r, cube, stack, s2_grid, nodata = ortho
     kw = dict(s2_scale=1e-4, s2_nodata=nodata, fusion_method=method)
@@ -80,18 +81,23 @@ def test_fused_engine_consumes_device_cube(ortho):
                                   np.nan_to_num(b.fused_10m))
 
 
-def test_engine_fused_rejects_histogram(ortho):
-    from hyperres.fusion.fused import FusedUnsupported
+def test_engine_auto_routes_histogram_to_fused(ortho):
+    """histogram joined FUSED_METHODS in round 3 — auto now runs it as
+    one device program."""
     res, r, cube, stack, s2_grid, nodata = ortho
-    with pytest.raises(FusedUnsupported):
-        fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
-                  s2_scale=1e-4, s2_nodata=nodata,
-                  fusion_method="histogram", engine="fused")
-    # auto falls back silently
     out = fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
                     s2_scale=1e-4, s2_nodata=nodata,
                     fusion_method="histogram", engine="auto")
-    assert out.info["engine"] == "phases"
+    assert out.info["engine"] == "fused"
+
+
+def test_engine_fused_rejects_unknown_method(ortho):
+    from hyperres.fusion.fused import FusedUnsupported
+    res, r, cube, stack, s2_grid, nodata = ortho
+    with pytest.raises((FusedUnsupported, ValueError)):
+        fuse_pair(cube, r.wavelengths, r.grid, stack, s2_grid,
+                  s2_scale=1e-4, s2_nodata=nodata,
+                  fusion_method="nope", engine="fused")
 
 
 def test_average_weight_matrix_matches_block_average(rng):
