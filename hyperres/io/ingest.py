@@ -109,10 +109,26 @@ def quantize_slab_u12(slab: np.ndarray, nodata: float = NO_DATA_VALUE
     return (packed.reshape(h, w, -1), scale32, offset32, nb)
 
 
-@lru_cache(maxsize=None)
-def _u12_dequant(nodata: float, nb: int):
-    @jax.jit
-    def deq(packed, scale, offset):
+def dequant_slab(payload, transfer: str, nodata: float) -> jax.Array:
+    """TRACED dequantization: turn a transfer payload into the float32
+    (H, W, nb) slab *inside the caller's jitted program*. This is the
+    round-3 fix for u12 viability: standalone dequant programs compile
+    at minutes-scale latency on the axon backend, so the bit-unpack and
+    affine dequant must live in the same compiled program that consumes
+    the chunk (the fold), not in programs of their own.
+
+    ``payload``: (q, scale, offset) for 'u16', (packed, scale, offset)
+    for 'u12' (band count inferred from scale.shape), or the float32
+    slab itself for 'f32'.
+    """
+    if transfer == "u16":
+        q, scale, offset = payload
+        x = q.astype(jnp.float32) * scale + offset
+        return jnp.where(q == jnp.uint16(U16_SENTINEL),
+                         jnp.float32(nodata), x)
+    if transfer == "u12":
+        packed, scale, offset = payload
+        nb = scale.shape[0]
         h, w, _ = packed.shape
         p = packed.reshape(h, w, -1, 3).astype(jnp.int32)
         v0 = p[..., 0] | ((p[..., 1] & 0x0F) << 8)
@@ -120,12 +136,13 @@ def _u12_dequant(nodata: float, nb: int):
         q = jnp.stack([v0, v1], axis=-1).reshape(h, w, -1)[..., :nb]
         x = q.astype(jnp.float32) * scale + offset
         return jnp.where(q == U12_SENTINEL, jnp.float32(nodata), x)
+    return payload
 
-    return deq
 
-
-@partial(jax.jit, donate_argnums=0)
-def _slice_updater(out, x, b0):
+@partial(jax.jit, donate_argnums=0, static_argnames=("transfer", "nodata"))
+def _slice_updater_q(out, payload, b0, transfer, nodata):
+    """Dequant + donated dynamic_update_slice as ONE program."""
+    x = dequant_slab(payload, transfer, nodata)
     return lax.dynamic_update_slice(
         out, x, (jnp.int32(0), jnp.int32(0), b0))
 
@@ -154,21 +171,15 @@ def stream_cube_to_device(
     h, w, n_bands = shape_hwb
     out = jax.device_put(
         jnp.full((h, w, n_bands), jnp.float32(nodata)), device)
+
+    def fold(carry, payload, b0):
+        return _slice_updater_q(carry, payload, b0, transfer=transfer,
+                                nodata=float(nodata))
+
     return stream_cube_fold(
-        read_bands, shape_hwb, _slice_updater, out, transfer=transfer,
+        read_bands, shape_hwb, fold, out, transfer=transfer,
         chunk_bands=chunk_bands, depth=depth, nodata=nodata,
-        device=device)
-
-
-@lru_cache(maxsize=None)
-def _u16_dequant(nodata: float):
-    @jax.jit
-    def deq(q, scale, offset):
-        x = q.astype(jnp.float32) * scale + offset
-        return jnp.where(q == jnp.uint16(U16_SENTINEL),
-                         jnp.float32(nodata), x)
-
-    return deq
+        device=device, payload_mode=True)
 
 
 def stream_cube_fold(
@@ -183,6 +194,7 @@ def stream_cube_fold(
     nodata: float = NO_DATA_VALUE,
     pad_to_chunk: bool = False,
     device=None,
+    payload_mode: bool = False,
 ):
     """Fold device band chunks into a carry: per chunk,
     ``carry = fold(carry, x, b0)`` with ``x`` the dequantized float32
@@ -193,6 +205,13 @@ def stream_cube_fold(
     ``pad_to_chunk`` pads the tail slab with nodata bands so every fold
     call sees one static shape (one XLA compilation); the caller is
     responsible for slicing padded bands off the final carry.
+
+    ``payload_mode``: pass the RAW transfer payload to the fold instead
+    of a dequantized slab — the fold must call :func:`dequant_slab`
+    inside its own jitted program. This keeps the whole steady state in
+    ONE compiled program per chunk shape (essential for u12, whose
+    standalone unpack programs compile at minutes-scale latency on the
+    remote backend).
     """
     if transfer not in ("u16", "u12", "f32"):
         raise ValueError(
@@ -218,18 +237,34 @@ def stream_cube_fold(
             else:
                 yield (slab, np.int32(b0))
 
-    deq16 = _u16_dequant(float(nodata))
     for item in PrefetchToDevice(source(), depth=depth, device=device):
         if transfer == "u16":
             q, scale, offset, b0 = item
-            x = deq16(q, scale, offset)
+            payload = (q, scale, offset)
         elif transfer == "u12":
-            packed, scale, offset, b0, nb = item
-            x = _u12_dequant(float(nodata), int(nb))(packed, scale, offset)
+            packed, scale, offset, b0, _nb = item
+            payload = (packed, scale, offset)
         else:
-            x, b0 = item
-        carry = fold(carry, x, b0)
+            payload, b0 = item
+        if payload_mode:
+            carry = fold(carry, payload, b0)
+        else:
+            carry = fold(carry, dequant_slab_now(payload, transfer,
+                                                 float(nodata)), b0)
     return carry
+
+
+@lru_cache(maxsize=None)
+def _dequant_program(transfer: str, nodata: float):
+    return jax.jit(partial(dequant_slab, transfer=transfer,
+                           nodata=nodata))
+
+
+def dequant_slab_now(payload, transfer: str, nodata: float) -> jax.Array:
+    """Eager counterpart of :func:`dequant_slab` for non-payload-mode
+    folds (a separately compiled program per chunk shape — avoid on the
+    remote backend; prefer payload_mode)."""
+    return _dequant_program(transfer, float(nodata))(payload)
 
 
 def stream_granule_cube(granule, *, transfer: str = "u16",

@@ -6,6 +6,7 @@ from .ops import (
     halo_exchange_rows,
     sharded_srf_synthesize,
     sharded_orthowarp, sharded_orthowarp_two_pass,
+    sharded_streamed_orthowarp,
 )
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "sharded_histogram_percentile", "data_parallel_ridge_fit",
     "sharded_tile_map", "halo_exchange_rows", "sharded_srf_synthesize",
     "sharded_orthowarp", "sharded_orthowarp_two_pass",
+    "sharded_streamed_orthowarp",
 ]

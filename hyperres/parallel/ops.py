@@ -226,29 +226,13 @@ def sharded_orthowarp(raw, glt_flat_idx, glt_valid, rows, cols, mesh: Mesh,
                jnp.asarray(cols))
 
 
-def sharded_orthowarp_two_pass(raw, glt_flat_idx, glt_valid, rows, cols,
-                               cstar, mesh: Mesh, axis: str = "data",
-                               method: str = "cubic",
-                               fill: float = -9999.0, halo: int = 32,
-                               precision: str = "high"):
-    """Multi-chip two-pass scanline ortho-warp.
-
-    SPMD decomposition: pass 1 (horizontal, per source scanline) is
-    sharded over the SOURCE scanline axis — each chip GLT-gathers and
-    resamples only its own scanlines; pass 2 (vertical, per destination
-    row) is sharded over the DESTINATION row axis. Because the row field
-    is monotone, destination shard i needs source scanlines from
-    (roughly) source shard i plus a bounded overlap — satisfied with a
-    single ``ppermute`` halo exchange of ``halo`` scanlines per
-    neighbour; no all-gather and no collectives in either matmul pass.
-
-    Requirements checked here on the host: source height and destination
-    height divisible by the mesh axis; every destination shard's
-    scanline support (rows field ± kernel radius) within its halo-
-    extended window (raise otherwise — increase ``halo``).
-    """
-    from ..kernels.warp import (_kernel_profile, _two_pass_pass1,
-                                _two_pass_pass2)
+def _sharded_two_pass_build(glt_flat_idx, rows, mesh: Mesh, axis: str,
+                            method: str, fill: float, halo: int,
+                            precision: str):
+    """Host-side shard checks + the shard_map warp program shared by
+    :func:`sharded_orthowarp_two_pass` (one-shot) and
+    :func:`sharded_streamed_orthowarp` (per-chunk fold)."""
+    from ..kernels.warp import _two_pass_pass1, _two_pass_pass2
 
     n = mesh.shape[axis]
     ho, wo = np.asarray(glt_flat_idx).shape
@@ -256,6 +240,10 @@ def sharded_orthowarp_two_pass(raw, glt_flat_idx, glt_valid, rows, cols,
     if ho % n or hd % n:
         raise ValueError(f"source height {ho} and destination height "
                          f"{hd} must divide the mesh axis {n}")
+    if halo > ho // n:
+        raise ValueError(
+            f"halo {halo} exceeds the per-shard scanline count "
+            f"{ho // n} (ppermute exchanges at most one full shard)")
     ho_l, hd_l = ho // n, hd // n
     radius = 2.0 if method == "cubic" else 1.0
     rows_np = np.asarray(rows)
@@ -314,6 +302,79 @@ def sharded_orthowarp_two_pass(raw, glt_flat_idx, glt_valid, rows, cols,
                      & (cols_s >= -0.5) & (cols_s <= wo - 0.5))[..., None]
         return jnp.where(centre_in, res, jnp.asarray(fill, jnp.float32))
 
+    return run
+
+
+def sharded_orthowarp_two_pass(raw, glt_flat_idx, glt_valid, rows, cols,
+                               cstar, mesh: Mesh, axis: str = "data",
+                               method: str = "cubic",
+                               fill: float = -9999.0, halo: int = 32,
+                               precision: str = "high"):
+    """Multi-chip two-pass scanline ortho-warp.
+
+    SPMD decomposition: pass 1 (horizontal, per source scanline) is
+    sharded over the SOURCE scanline axis — each chip GLT-gathers and
+    resamples only its own scanlines; pass 2 (vertical, per destination
+    row) is sharded over the DESTINATION row axis. Because the row field
+    is monotone, destination shard i needs source scanlines from
+    (roughly) source shard i plus a bounded overlap — satisfied with a
+    single ``ppermute`` halo exchange of ``halo`` scanlines per
+    neighbour; no all-gather and no collectives in either matmul pass.
+
+    Requirements checked on the host: source height and destination
+    height divisible by the mesh axis; every destination shard's
+    scanline support (rows field ± kernel radius) within its halo-
+    extended window (raise otherwise — increase ``halo``).
+    """
+    run = _sharded_two_pass_build(glt_flat_idx, rows, mesh, axis, method,
+                                  fill, halo, precision)
     return run(jnp.asarray(raw), jnp.asarray(glt_flat_idx),
                jnp.asarray(glt_valid), jnp.asarray(rows),
                jnp.asarray(cols), jnp.asarray(cstar))
+
+
+def sharded_streamed_orthowarp(read_bands, shape_hwb, glt_flat_idx,
+                               glt_valid, rows, cols, cstar, mesh: Mesh,
+                               axis: str = "data", method: str = "cubic",
+                               fill: float = -9999.0, halo: int = 32,
+                               precision: str = "high",
+                               transfer: str = "u16",
+                               chunk_bands: int = 8, depth: int = 2):
+    """The PRODUCTION streamed ingest fold under a device mesh: the UTM
+    accumulator lives row-sharded across the chips, and each band chunk
+    is dequantized + warped by the sharded two-pass kernel + written
+    into the shard-local accumulator rows, all in ONE jitted program per
+    chunk (ortho/pipeline.py's ``_warp_chunk_update`` fold, SPMD-ified).
+    Host reads / quantization / transfer overlap the device folds
+    exactly like the single-chip path."""
+    from jax.sharding import NamedSharding
+
+    from ..io.ingest import dequant_slab, stream_cube_fold
+
+    run = _sharded_two_pass_build(glt_flat_idx, rows, mesh, axis, method,
+                                  fill, halo, precision)
+    hd, wd = np.asarray(rows).shape
+    h, w, n_bands = shape_hwb
+    gf = jnp.asarray(glt_flat_idx)
+    gv = jnp.asarray(glt_valid)
+    rows_j = jnp.asarray(rows)
+    cols_j = jnp.asarray(cols)
+    cs = jnp.asarray(cstar)
+
+    @partial(jax.jit, donate_argnums=0)
+    def fold_prog(utm, payload, b0, gf, gv, rows_j, cols_j, cs):
+        x = dequant_slab(payload, transfer, fill)
+        wchunk = run(x, gf, gv, rows_j, cols_j, cs)
+        return jax.lax.dynamic_update_slice(
+            utm, wchunk, (jnp.int32(0), jnp.int32(0), b0))
+
+    def fold(utm, payload, b0):
+        return fold_prog(utm, payload, b0, gf, gv, rows_j, cols_j, cs)
+
+    utm0 = jax.device_put(
+        jnp.full((hd, wd, n_bands), jnp.float32(fill)),
+        NamedSharding(mesh, P(axis, None, None)))
+    return stream_cube_fold(
+        read_bands, shape_hwb, fold, utm0, transfer=transfer,
+        chunk_bands=chunk_bands, depth=depth, nodata=fill,
+        payload_mode=True)

@@ -357,3 +357,88 @@ def test_fused_pipeline_gspmd_under_mesh(eight_devices, rng, tmp_path):
     np.testing.assert_allclose(np.asarray(sharded["coeffs"]),
                                np.asarray(single["coeffs"]),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_sharded_streamed_fold_matches_single(eight_devices, rng):
+    """The PRODUCTION streamed ingest fold (chunked u16-quantized reads
+    -> dequant + sharded two-pass warp + row-sharded accumulator update,
+    one program per chunk) matches the single-device fold of the same
+    chunks (round-3 verdict item: the last production program not yet
+    under a mesh)."""
+    import jax.numpy as jnp
+    from hyperres.io.ingest import stream_cube_to_device
+    from hyperres.kernels.glt import prepare_glt
+    from hyperres.kernels.warp import orthowarp_two_pass, scanline_cstar
+    from hyperres.parallel import make_mesh, sharded_streamed_orthowarp
+
+    n_bands = 20
+    raw = rng.random((40, 44, n_bands)).astype(np.float32)
+    ho, wo = 64, 48
+    hd, wd = 64, 50
+    glt = np.zeros((ho, wo, 2), dtype=np.int32)
+    valid = rng.random((ho, wo)) > 0.2
+    glt[..., 0] = np.where(valid, rng.integers(1, 45, (ho, wo)), 0)
+    glt[..., 1] = np.where(valid, rng.integers(1, 41, (ho, wo)), 0)
+    flat_idx, vmask = prepare_glt(glt, (40, 44))
+    r = np.arange(hd, dtype=np.float32)[:, None]
+    j = np.arange(wd, dtype=np.float32)[None, :]
+    rows = (r * (ho / hd) + 0.003 * j * r / hd + 0.2).astype(np.float32)
+    cols = (j * (wo / wd) + 0.002 * r - 0.1).astype(np.float32)
+    cstar = scanline_cstar(rows, cols, ho)
+
+    def read_bands(b0, b1):
+        return raw[..., b0:b1]
+
+    mesh = make_mesh(axis_names=("data",))
+    got = np.asarray(sharded_streamed_orthowarp(
+        read_bands, raw.shape, flat_idx, vmask, rows, cols, cstar, mesh,
+        halo=8, transfer="u16", chunk_bands=8))
+    assert got.shape == (hd, wd, n_bands)
+
+    # single-device reference over the SAME u16-quantized transport:
+    # stream the cube, then one monolithic two-pass warp
+    raw_u16 = np.asarray(stream_cube_to_device(
+        read_bands, raw.shape, transfer="u16", chunk_bands=8))
+    want = np.asarray(orthowarp_two_pass(
+        jnp.asarray(raw_u16), jnp.asarray(flat_idx), jnp.asarray(vmask),
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(cstar),
+        method="cubic", block_rows_src=8, block_rows_dst=8))
+    # low-weight validity-boundary pixels reassociate differently across
+    # the shard seam: tiny |den| amplifies f32 noise there
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-3)
+    d = np.abs(got - want)
+    assert np.percentile(d, 99) < 1e-4
+
+
+def test_sharded_streamed_fold_u12_and_f32(eight_devices, rng):
+    """u12 packed and f32 transfers run through the same sharded fold
+    (in-program dequant) and agree with each other within quantization
+    error."""
+    from hyperres.kernels.glt import prepare_glt
+    from hyperres.kernels.warp import scanline_cstar
+    from hyperres.parallel import make_mesh, sharded_streamed_orthowarp
+
+    n_bands = 9  # odd: exercises the u12 padding band
+    raw = rng.random((24, 26, n_bands)).astype(np.float32)
+    ho = wo = 64
+    hd, wd = 64, 30
+    glt = np.ones((ho, wo, 2), dtype=np.int32)
+    glt[..., 0] = rng.integers(1, 27, (ho, wo))
+    glt[..., 1] = rng.integers(1, 25, (ho, wo))
+    flat_idx, vmask = prepare_glt(glt, (24, 26))
+    r = np.arange(hd, dtype=np.float32)[:, None]
+    j = np.arange(wd, dtype=np.float32)[None, :]
+    rows = (r * (ho / hd)).astype(np.float32) + 0 * j
+    cols = (j * (wo / wd)).astype(np.float32) + 0 * r
+    cstar = scanline_cstar(rows, cols, ho)
+    mesh = make_mesh(axis_names=("data",))
+
+    outs = {}
+    for transfer in ("f32", "u12"):
+        outs[transfer] = np.asarray(sharded_streamed_orthowarp(
+            lambda b0, b1: raw[..., b0:b1], raw.shape, flat_idx, vmask,
+            rows, cols, cstar, mesh, halo=8, transfer=transfer,
+            chunk_bands=4))
+    v = outs["f32"] != -9999.0
+    np.testing.assert_array_equal(v, outs["u12"] != -9999.0)
+    assert np.abs(outs["f32"][v] - outs["u12"][v]).max() < 2e-3
