@@ -124,22 +124,35 @@ def build_workload(scale: float = 1.0, warp_kernel: str = "two_pass",
 
     # real S2 RGB at 10 m (B2, B3, B4): the world convolved with the
     # S2 SRFs, delivered as uint16 DN at scale 1e-4 — the format the
-    # production pipeline ingests. Built row-blocked in f32 to bound
-    # host RSS at full scale (85 Mpx x 4 abundance fields).
+    # production pipeline ingests. The world's abundance fields are
+    # band-limited below 0.9 cycles/km (period >= 1.1 km), so sampling
+    # them on a 30 m lattice and bilinearly refining to 10 m is exact to
+    # visual/statistical purposes and ~9x cheaper than evaluating 85 Mpx
+    # of sinusoids (full-scale setup was minutes-dominated by this).
     srf3 = builtin_srf("S2A", bands=["B2", "B3", "B4"])
     W3, _, _ = build_srf_weight_matrix(wl, srf3, good)
     band_spec = (spectra @ np.asarray(W3)).astype(np.float32)  # (K, 3)
-    sxs, sys_ = s2_grid.pixel_center_coords()
-    s2_dn = np.empty((3, s2_h, s2_w), dtype=np.uint16)
-    blk = max(1, int(2e7) // max(1, s2_w))
-    for r0 in range(0, s2_h, blk):
-        r1 = min(r0 + blk, s2_h)
-        SX, SY = np.meshgrid(sxs, sys_[r0:r1])
-        a_blk = scenes.abundance_maps(SX, SY).astype(np.float32)
-        rgb = np.clip(a_blk @ band_spec, 0.0, 1.0)
-        s2_dn[:, r0:r1, :] = np.moveaxis(
-            np.clip(np.rint(rgb * 10000.0), 0, 65534), -1, 0
-        ).astype(np.uint16)
+    f = 3  # 30 m coarse lattice in 10 m pixel units
+    cj = np.arange(0, s2_w + f, f)
+    ci = np.arange(0, s2_h + f, f)
+    cX = s2_grid.x0 + (cj + 0.5) * s2_grid.dx
+    cY = s2_grid.y0 - (ci + 0.5) * s2_grid.dy
+    CX, CY = np.meshgrid(cX, cY)
+    a_c = scenes.abundance_maps(CX, CY).astype(np.float32)
+    rgb_c = np.clip(a_c @ band_spec, 0.0, 1.0)  # (Ci, Cj, 3)
+    jj = np.arange(s2_w, dtype=np.float64) / f
+    j0 = np.floor(jj).astype(np.int64)
+    tj = (jj - j0).astype(np.float32)[None, :, None]
+    ii = np.arange(s2_h, dtype=np.float64) / f
+    i0 = np.floor(ii).astype(np.int64)
+    ti = (ii - i0).astype(np.float32)[:, None, None]
+    rows_interp = (rgb_c[i0] * (1.0 - ti) + rgb_c[i0 + 1] * ti)
+    rgb10 = (rows_interp[:, j0] * (1.0 - tj)
+             + rows_interp[:, j0 + 1] * tj)
+    s2_dn = np.moveaxis(
+        np.clip(np.rint(rgb10 * 10000.0), 0, 65534), -1, 0
+    ).astype(np.uint16)
+    del rgb_c, rows_interp, rgb10
 
     from hyperres.core.config import PolyFusionConfig
     plan = FusedOrthoFusionPlan(

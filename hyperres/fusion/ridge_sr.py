@@ -180,6 +180,55 @@ class RidgeSpectralSR:
             out[sl] = y[:len(sl)]
         return out.T.reshape(self.n_outputs, h, w)
 
+    @partial(jax.jit, static_argnums=(0, 4))
+    def _predict_quant_batches(self, params: RidgeSRParams, X: jax.Array,
+                               valid: jax.Array, batch: int) -> jax.Array:
+        """ONE device program for the whole cube: fori_loop over
+        fixed-size pixel batches (standardise -> monomial expansion ->
+        ridge matmul -> sigmoid -> u16 quantize), accumulating into a
+        device-resident uint16 output. Replaces the host round-trip per
+        200k-px batch of :meth:`predict_cube` for granule-scale
+        products."""
+        n, bx = X.shape
+        by = self.n_outputs
+
+        def body(i, out):
+            x = jax.lax.dynamic_slice(X, (i * batch, 0), (batch, bx))
+            v = jax.lax.dynamic_slice(valid, (i * batch,), (batch,))
+            z = (self.expand((x - params.x_mean) / params.x_std)
+                 @ params.W + params.intercept)
+            y = sigmoid(z)
+            q = jnp.clip(jnp.rint(y * 10000.0), 0.0, 65534.0).astype(
+                jnp.uint16)
+            q = jnp.where(v[:, None], q, jnp.uint16(65535))
+            return jax.lax.dynamic_update_slice(out, q, (i * batch, 0))
+
+        out0 = jnp.full((n, by), 65535, dtype=jnp.uint16)
+        return jax.lax.fori_loop(0, n // batch, body, out0)
+
+    def predict_cube_u16(self, X_bhw, nodata: Optional[float] = None,
+                         batch_pixels: Optional[int] = None) -> np.ndarray:
+        """(Bx, H, W) -> (By, H, W) uint16 x10000 (nodata 65535, the
+        tiles_helpers quantization convention) computed in ONE device
+        program — the granule-scale 10 m product path (Spectral_matching
+        cell 8 at full scale without per-batch host round-trips)."""
+        assert self.params is not None, "fit() first"
+        batch = batch_pixels or self.cfg.batch_pixels
+        b, h, w = X_bhw.shape
+        X = np.asarray(X_bhw, dtype=np.float32).reshape(b, -1).T
+        valid = np.isfinite(X).all(axis=1)
+        if nodata is not None:
+            valid &= ~np.isclose(X, nodata).any(axis=1)
+        n = h * w
+        n_pad = -(-n // batch) * batch
+        if n_pad != n:
+            X = np.pad(X, ((0, n_pad - n), (0, 0)))
+            valid = np.pad(valid, (0, n_pad - n))
+        np.nan_to_num(X, copy=False)
+        q = self._predict_quant_batches(self.params, jnp.asarray(X),
+                                        jnp.asarray(valid), int(batch))
+        return np.asarray(q)[:n].T.reshape(self.n_outputs, h, w)
+
     # ---- evaluation ----
 
     def evaluate(self, X: np.ndarray, Y_true: np.ndarray

@@ -548,18 +548,15 @@ def run_pair_pipeline(
             if predict_sr_cube:
                 # predict the full 10 m EMIT-band cube and archive it as
                 # uint16 x10000 (Spectral_matching cells 8/27 +
-                # tiles_helpers quantization convention)
-                from .kernels.stats import quantize_reflectance_u16
-                import jax.numpy as _jnp
-                pred = model.predict_cube(
-                    np.moveaxis(s2_stack, 0, -1).transpose(2, 0, 1)
-                    * s2_scale,
+                # tiles_helpers quantization convention). ONE device
+                # program for the whole cube: batched expand/matmul/
+                # sigmoid/quantize with no per-batch host round-trip.
+                t_sr = time.perf_counter()
+                q = model.predict_cube_u16(
+                    s2_stack * s2_scale,
                     nodata=(s2_nodata * s2_scale
                             if s2_nodata is not None else None))
-                valid_p = np.isfinite(pred)
-                q = np.asarray(quantize_reflectance_u16(
-                    _jnp.asarray(np.nan_to_num(pred, nan=0.0)),
-                    _jnp.asarray(valid_p)))
+                sr_predict_s = time.perf_counter() - t_sr
                 sr_tif = run.local_root / "emit_sr_10m.tif"
                 write_geotiff(
                     sr_tif, q, s2_grid_c, nodata=65535,
@@ -569,9 +566,15 @@ def run_pair_pipeline(
                     descriptions=[f"{float(wl[i]):.2f} nm"
                                   for i in band_idx])
                 sr_metrics["sr_cube_tif"] = str(sr_tif)
+                sr_metrics["sr_predict_seconds"] = round(sr_predict_s, 4)
+                sr_metrics["sr_predict_px_per_s"] = round(
+                    q.shape[1] * q.shape[2] / max(sr_predict_s, 1e-9))
                 report.section("Spectral SR 10 m product",
                                [f"cube: {sr_tif.name} "
-                                f"({pred.shape[0]} bands)"])
+                                f"({q.shape[0]} bands)",
+                                f"predict: {sr_predict_s:.3f} s "
+                                f"({sr_metrics['sr_predict_px_per_s']:,}"
+                                " px/s)"])
 
     total_s = time.perf_counter() - t_start
     report.section("Timing", [f"total seconds: {total_s:.3f}"])

@@ -189,3 +189,42 @@ def test_band_mask_per_band_nodata(tmp_path):
     assert (cube[valid_spatial][:, 7] == -9999.0).all()
     assert (cube[valid_spatial][:, 6] != -9999.0).all()
     assert res.info["mask"]["band_masked_px"] == int(bm.sum())
+
+
+# ---------------------------------------------------------------------------
+# Granule-scale SR product path (device-batched u16 prediction)
+# ---------------------------------------------------------------------------
+
+def test_predict_cube_u16_matches_host_path(rng):
+    """The single-program device prediction (predict_cube_u16) matches
+    the reference-shaped host-batched predict_cube + quantize."""
+    import jax.numpy as jnp
+    from hyperres.core.config import RidgeSRConfig
+    from hyperres.fusion import RidgeSpectralSR
+    from hyperres.kernels.stats import quantize_reflectance_u16
+
+    bx, by = 6, 12
+    X = rng.random((4000, bx)).astype(np.float32)
+    Y = np.clip(0.2 + 0.5 * X[:, :1] + 0.05 * rng.random((4000, by)),
+                0.01, 0.99).astype(np.float32)
+    model = RidgeSpectralSR(bx, by, RidgeSRConfig(degree=2,
+                                                  batch_pixels=512))
+    model.fit(X, Y)
+
+    h, w = 37, 41  # h*w not a multiple of batch: exercises padding
+    cube = rng.random((bx, h, w)).astype(np.float32)
+    cube[:, 3, 5] = np.nan          # invalid pixel
+    cube[:, 10, 2] = -9999.0        # nodata pixel
+
+    q_dev = model.predict_cube_u16(cube, nodata=-9999.0)
+    pred = model.predict_cube(cube, nodata=-9999.0)
+    valid = np.isfinite(pred)
+    q_ref = np.asarray(quantize_reflectance_u16(
+        jnp.asarray(np.nan_to_num(pred, nan=0.0)), jnp.asarray(valid)))
+
+    assert q_dev.shape == (by, h, w)
+    assert q_dev.dtype == np.uint16
+    np.testing.assert_array_equal(q_dev == 65535, q_ref == 65535)
+    assert q_dev[:, 3, 5].max() == 65535 and q_dev[:, 10, 2].max() == 65535
+    d = np.abs(q_dev.astype(np.int32) - q_ref.astype(np.int32))
+    assert d.max() <= 1  # f32 sigmoid rounding at the quantization edge
