@@ -387,16 +387,27 @@ class FusedOrthoFusionPlan:
         self._wr = jnp.asarray(wr)
         self._wc = jnp.asarray(wc)
         # "pallas" selects the two-pass scanline decomposition with the
-        # Pallas VMEM-weight einsum backend (kernels.pallas_ops)
+        # Pallas VMEM-weight einsum backend; "pallas_banded" the
+        # block-sparse window kernels (feasibility host-checked here)
         backend = "auto"
         if warp_kernel == "pallas":
             warp_kernel, backend = "two_pass", "pallas"
+        cstar_np = (scanline_cstar(wr, wc, ortho_grid.height)
+                    if warp_kernel in ("two_pass", "pallas_banded")
+                    else None)
+        if warp_kernel == "pallas_banded":
+            from ..kernels.pallas_ops import banded_spans_ok
+            if not (banded_spans_ok(np.asarray(cstar_np))
+                    and banded_spans_ok(np.asarray(wr).T)):
+                raise ValueError(
+                    "banded Pallas warp infeasible for this geometry "
+                    "(a destination tile's source span exceeds the "
+                    "384-sample window); use warp_kernel='two_pass'")
+            warp_kernel, backend = "two_pass", "pallas_banded"
         self.warp_statics = WarpStatics(
             warp_kernel=warp_kernel, resampling=resampling,
             row_chunks=orthowarp_row_chunks, backend=backend)
-        self._cstar = (jnp.asarray(scanline_cstar(wr, wc,
-                                                  ortho_grid.height))
-                       if warp_kernel == "two_pass"
+        self._cstar = (jnp.asarray(cstar_np) if cstar_np is not None
                        else jnp.zeros((1, 1), jnp.float32))
         self._fusion = FusedFusionPlan(
             utm_grid, s2_grid, wavelengths, good_mask,

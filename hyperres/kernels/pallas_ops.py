@@ -240,3 +240,216 @@ def pallas_scanline_resample(
         interpret=interpret,
     )(pos, src)
     return out[:, :d]
+
+
+# ---------------------------------------------------------------------------
+# Banded scanline warp (round 3): skip the zero tiles
+# ---------------------------------------------------------------------------
+#
+# The dense two-pass warp multiplies banded weight matrices whose
+# support is only ~4 taps wide against the FULL source axis (~1500
+# samples): >97 % of the MXU contraction is zeros. These kernels
+# contract each 128-wide destination tile against a 256-sample source
+# window selected per tile via scalar-prefetched block indices
+# (block-sparse style): ~6x fewer FLOPs and no transposed multi-GB
+# intermediates (pass 2 consumes pass 1's natural layout directly).
+
+_BANDED_WBLK = 128     # window block granularity (source samples)
+_BANDED_NBLK = 3       # window = 3 blocks = 384 samples
+_BANDED_DTILE = 128    # destination columns/rows per block
+
+
+def _banded_profile(method: str):
+    if method == "cubic":
+        a = -0.5
+
+        def profile(dist):
+            ax = jnp.abs(dist)
+            w1 = (a + 2.0) * ax ** 3 - (a + 3.0) * ax ** 2 + 1.0
+            w2 = (a * ax ** 3 - 5.0 * a * ax ** 2 + 8.0 * a * ax
+                  - 4.0 * a)
+            return jnp.where(ax <= 1.0, w1,
+                             jnp.where(ax < 2.0, w2, 0.0))
+        return profile
+    if method == "bilinear":
+        return lambda dist: jnp.maximum(0.0, 1.0 - jnp.abs(dist))
+    raise ValueError(f"Unknown method {method!r}")
+
+
+def _banded_starts(pos, s_pad: int, reduce_axes) -> "jnp.ndarray":
+    """Traced per-tile window block starts:
+    clip(floor((min_pos - 2.5) / 128), 0, S_blocks - NBLK). The window
+    [start*128, start*128 + 384) then covers every tap of every
+    position in the tile whenever the tile's span <= 384 - 128 - 5
+    (flooring can waste up to one block) — checked on the host by
+    :func:`banded_spans_ok`."""
+    mn = pos.min(reduce_axes)
+    n_blocks = s_pad // _BANDED_WBLK
+    return jnp.clip(jnp.floor((mn - 2.5) / _BANDED_WBLK), 0,
+                    max(n_blocks - _BANDED_NBLK, 0)).astype(jnp.int32)
+
+
+def banded_spans_ok(pos: np.ndarray) -> bool:
+    """HOST feasibility check for the banded kernels: every 128-wide
+    destination tile's source-position span must be <= 251 samples
+    (window 384 minus one block of flooring slack minus the cubic
+    support). True for near-1:1 scanline warps (the EMIT ortho->UTM
+    case); False for strong down/upsampling, where the dense path or
+    ``resample_to_grid`` applies."""
+    pos = np.asarray(pos, dtype=np.float64)
+    d = pos.shape[-1]
+    dt = _BANDED_DTILE
+    d_pad = _round_up(d, dt)
+    if d_pad != d:
+        pad = np.full(pos.shape[:-1] + (d_pad - d,), np.nan)
+        pos = np.concatenate([pos, pad], axis=-1)
+    t = pos.reshape(pos.shape[:-1] + (d_pad // dt, dt))
+    with np.errstate(invalid="ignore"):
+        span = np.nanmax(t, -1) - np.nanmin(t, -1)
+    return bool(np.nanmax(np.nan_to_num(span)) <= 251.0)
+
+
+_BANDED_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
+                      "high": jax.lax.Precision.HIGHEST,
+                      "default": jax.lax.Precision.DEFAULT}
+
+
+def _banded_pass1(src, pos, method, precision, interpret):
+    """Horizontal pass: out[n, d, c] = sum_s k(pos[n, d] - s) src[n, s, c]
+    contracting only a 384-sample window per 128-column tile.
+    src (N, S, C), pos (N, D) -> (N, D_pad, C)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, s, c = src.shape
+    d = pos.shape[1]
+    W, NB, DT = _BANDED_WBLK, _BANDED_NBLK, _BANDED_DTILE
+    s_pad = _round_up(max(s, NB * W), W)
+    d_pad = _round_up(d, DT)
+    if s_pad != s:
+        src = jnp.pad(src, ((0, 0), (0, s_pad - s), (0, 0)))
+    if d_pad != d:
+        pos = jnp.pad(pos, ((0, 0), (0, d_pad - d)),
+                      constant_values=1e6)
+    starts = jnp.clip(
+        jnp.floor((pos.reshape(n, d_pad // DT, DT).min(-1) - 2.5) / W),
+        0, s_pad // W - NB).astype(jnp.int32)
+    pos3 = pos[:, None, :]
+    profile = _banded_profile(method)
+    prec = _BANDED_PRECISIONS[precision]
+
+    def kernel(st_ref, pos_ref, sA, sB, sC, o_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        s0 = (st_ref[i, j] * W).astype(jnp.float32)
+        offs = jax.lax.broadcasted_iota(
+            jnp.int32, (DT, NB * W), 1).astype(jnp.float32) + s0
+        w = profile(pos_ref[0, 0, :][:, None] - offs)      # (DT, 384)
+        win = jnp.concatenate([sA[0], sB[0], sC[0]], axis=0)
+        o_ref[0] = jnp.dot(w, win, preferred_element_type=jnp.float32,
+                           precision=prec)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, d_pad // DT),
+        in_specs=[
+            pl.BlockSpec((1, 1, DT), lambda i, j, st: (i, 0, j)),
+            pl.BlockSpec((1, W, c), lambda i, j, st: (i, st[i, j], 0)),
+            pl.BlockSpec((1, W, c),
+                         lambda i, j, st: (i, st[i, j] + 1, 0)),
+            pl.BlockSpec((1, W, c),
+                         lambda i, j, st: (i, st[i, j] + 2, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, DT, c), lambda i, j, st: (i, j, 0)),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, d_pad, c), jnp.float32),
+        interpret=interpret)(starts, pos3, src, src, src)
+
+
+def _banded_pass2(h, pos_t, method, precision, interpret):
+    """Vertical pass consuming pass 1's NATURAL layout (no transpose):
+    h (S, M, C) with S the contraction (scanline) axis, pos_t (M, D) the
+    per-column fractional scanline positions -> out (D_pad, M_pad, C).
+    Columns are processed 8 per block (one shared window per 8-column x
+    128-row tile)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s, m, c = h.shape
+    d = pos_t.shape[1]
+    W, NB, DT = _BANDED_WBLK, _BANDED_NBLK, _BANDED_DTILE
+    s_pad = _round_up(max(s, NB * W), W)
+    d_pad = _round_up(d, DT)
+    m_pad = _round_up(m, 8)
+    if s_pad != s or m_pad != m:
+        h = jnp.pad(h, ((0, s_pad - s), (0, m_pad - m), (0, 0)))
+    # pos_t may carry fewer columns than h's (already padded) M axis
+    if pos_t.shape != (m_pad, d_pad):
+        pos_t = jnp.pad(
+            pos_t, ((0, m_pad - pos_t.shape[0]),
+                    (0, d_pad - pos_t.shape[1])),
+            constant_values=1e6)
+    starts = jnp.clip(
+        jnp.floor((pos_t.reshape(m_pad // 8, 8, d_pad // DT, DT)
+                   .min((1, 3)) - 2.5) / W),
+        0, s_pad // W - NB).astype(jnp.int32)
+    profile = _banded_profile(method)
+    prec = _BANDED_PRECISIONS[precision]
+
+    def kernel(st_ref, pos_ref, hA, hB, hC, o_ref):
+        j = pl.program_id(0)
+        i = pl.program_id(1)
+        s0 = (st_ref[j, i] * W).astype(jnp.float32)
+        offs = jax.lax.broadcasted_iota(
+            jnp.int32, (DT, NB * W), 1).astype(jnp.float32) + s0
+        win = jnp.concatenate([hA[...], hB[...], hC[...]],
+                              axis=0)  # (384, 8, C)
+        for k in range(8):
+            w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
+            o_ref[:, k, :] = jnp.dot(
+                w, win[:, k, :], preferred_element_type=jnp.float32,
+                precision=prec)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // 8, d_pad // DT),
+        in_specs=[
+            pl.BlockSpec((8, DT), lambda j, i, st: (j, i)),
+            pl.BlockSpec((W, 8, c), lambda j, i, st: (st[j, i], j, 0)),
+            pl.BlockSpec((W, 8, c),
+                         lambda j, i, st: (st[j, i] + 1, j, 0)),
+            pl.BlockSpec((W, 8, c),
+                         lambda j, i, st: (st[j, i] + 2, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((DT, 8, c), lambda j, i, st: (i, j, 0)),
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((d_pad, m_pad, c), jnp.float32),
+        interpret=interpret)(starts, pos_t, h, h, h)
+
+
+def pallas_banded_two_pass(src_ext, rows, cstar, method: str = "cubic",
+                           precision: str = "highest",
+                           interpret: Optional[bool] = None):
+    """Both scanline-warp passes as banded Pallas kernels: identical
+    sampling positions to ``_two_pass_core`` but each destination tile
+    contracts a 384-sample source window instead of the full axis
+    (~4-6x fewer FLOPs at EMIT granule geometry), and pass 2 consumes
+    pass 1's natural layout so no multi-GB transposes materialise.
+
+    Callers must verify feasibility on the host with
+    :func:`banded_spans_ok` (cstar rows AND rows-transposed columns) —
+    tiles whose positions span more than the window produce nodata, not
+    garbage (their taps get zero weight and the validity channel
+    renormalisation marks them invalid).
+    """
+    if interpret is None:
+        interpret = _on_cpu()
+    h = _banded_pass1(src_ext, cstar, method, precision, interpret)
+    hd, wd = rows.shape
+    out = _banded_pass2(h, jnp.transpose(rows), method, precision,
+                        interpret)
+    return out[:hd, :wd]

@@ -625,6 +625,17 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
                                         method=method,
                                         precision=precision)
         out_ext = jnp.transpose(outT, (1, 0, 2))    # (Hd, Wd, C)
+    elif backend == "pallas_banded":
+        # block-sparse scanline kernels: each 128-wide destination tile
+        # contracts a scalar-prefetch-selected 384-sample source window
+        # (~4-6x fewer FLOPs than the dense banded matmuls at granule
+        # geometry) and pass 2 reads pass 1's natural layout — no
+        # multi-GB transposes. Feasibility (tile spans <= 251 samples)
+        # must be host-checked with pallas_ops.banded_spans_ok.
+        from .pallas_ops import pallas_banded_two_pass
+        out_ext = pallas_banded_two_pass(src_ext, rows, cstar,
+                                         method=method,
+                                         precision=precision)
     else:
         out_ext = _two_pass_core(src_ext, rows, cstar, method,
                                  block_rows_src, block_rows_dst, prec)

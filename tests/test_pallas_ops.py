@@ -56,3 +56,67 @@ def test_pallas_quantize_matches_xla(rng):
                                          jnp.asarray(valid), nodata_u16=0,
                                          tile_rows=128))
     np.testing.assert_array_equal(got, want)
+
+
+def test_banded_two_pass_matches_dense(rng):
+    """The block-sparse banded scanline kernels reproduce the dense
+    two-pass warp bit-level (pre-division; post-division differences are
+    confined to near-zero-denominator boundary pixels)."""
+    import jax
+    import jax.numpy as jnp
+    from hyperres.kernels.glt import prepare_glt
+    from hyperres.kernels.pallas_ops import (
+        banded_spans_ok, pallas_banded_two_pass,
+    )
+    from hyperres.kernels.warp import (
+        _two_pass_core, orthowarp_two_pass, scanline_cstar,
+    )
+
+    raw = rng.random((150, 160, 7)).astype(np.float32)
+    ho, wo = 200, 210
+    hd, wd = 190, 205
+    glt = np.zeros((ho, wo, 2), np.int32)
+    valid = rng.random((ho, wo)) > 0.15
+    glt[..., 0] = np.where(valid, rng.integers(1, 161, (ho, wo)), 0)
+    glt[..., 1] = np.where(valid, rng.integers(1, 151, (ho, wo)), 0)
+    flat_idx, vmask = prepare_glt(glt, (150, 160))
+    r = np.arange(hd, dtype=np.float32)[:, None]
+    j = np.arange(wd, dtype=np.float32)[None, :]
+    rows = (r * (ho / hd) + 0.004 * j * r / hd + 0.3).astype(np.float32)
+    cols = (j * (wo / wd) + 0.003 * r - 0.2).astype(np.float32)
+    cstar = np.asarray(scanline_cstar(rows, cols, ho))
+    assert banded_spans_ok(cstar) and banded_spans_ok(rows.T)
+
+    b = raw.shape[-1]
+    v = jnp.take(jnp.asarray(raw).reshape(-1, b),
+                 jnp.asarray(flat_idx).reshape(-1),
+                 axis=0).reshape(ho, wo, b)
+    validf = jnp.asarray(vmask).astype(jnp.float32)[..., None]
+    src_ext = jnp.concatenate([v * validf, validf], axis=-1)
+    for method in ("cubic", "bilinear"):
+        dense = np.asarray(_two_pass_core(
+            src_ext, jnp.asarray(rows), jnp.asarray(cstar), method,
+            64, 64, jax.lax.Precision.HIGHEST))
+        band = np.asarray(pallas_banded_two_pass(
+            src_ext, jnp.asarray(rows), jnp.asarray(cstar),
+            method=method, precision="highest"))
+        np.testing.assert_allclose(band, dense, rtol=0, atol=3e-6)
+        # end-to-end through orthowarp_two_pass (masks + fill)
+        a = np.asarray(orthowarp_two_pass(
+            jnp.asarray(raw), jnp.asarray(flat_idx), jnp.asarray(vmask),
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(cstar),
+            method=method, precision="highest"))
+        g = np.asarray(orthowarp_two_pass(
+            jnp.asarray(raw), jnp.asarray(flat_idx), jnp.asarray(vmask),
+            jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(cstar),
+            method=method, precision="highest",
+            backend="pallas_banded"))
+        np.testing.assert_array_equal(a == -9999.0, g == -9999.0)
+
+
+def test_banded_spans_ok_rejects_wide_tiles():
+    from hyperres.kernels.pallas_ops import banded_spans_ok
+    pos = np.linspace(0.0, 4000.0, 256, dtype=np.float32)[None, :]
+    assert not banded_spans_ok(pos)   # ~2000-sample tile span
+    pos2 = np.linspace(0.0, 250.0, 256, dtype=np.float32)[None, :]
+    assert banded_spans_ok(pos2)      # ~125-sample tile span
