@@ -23,9 +23,9 @@ including the real 10 m Sentinel-2 RGB input (uint16 DN, the production
 wire format) that phase 2 consumes.
 
 Environment knobs: HYPERRES_BENCH_SCALE (default 1.0) scales the raw
-granule dims for quick smoke runs; HYPERRES_BENCH_WARP ("two_pass"
-default, "taploop" for the exact gather kernel, "pallas" for the
-Pallas scanline backend); HYPERRES_BENCH_RUNS, HYPERRES_BENCH_STAGES,
+granule dims for quick smoke runs; HYPERRES_BENCH_WARP ("auto"
+default: banded Pallas on TPU when feasible, XLA two-pass otherwise;
+also "two_pass", "taploop", "pallas", "pallas_banded"); HYPERRES_BENCH_RUNS, HYPERRES_BENCH_STAGES,
 HYPERRES_BENCH_TRANSFER (u16 default | u12 | f32 raw-cube ingest).
 """
 
@@ -184,7 +184,7 @@ def main():
     log(f"compile cache: {cache_dir}")
 
     scale = float(os.environ.get("HYPERRES_BENCH_SCALE", "1.0"))
-    warp_kernel = os.environ.get("HYPERRES_BENCH_WARP", "two_pass")
+    warp_kernel = os.environ.get("HYPERRES_BENCH_WARP", "auto")
     north_star_s = 2.0
 
     devs = jax.devices()
@@ -304,6 +304,7 @@ def main():
         "setup_s": round(t_setup, 2),
         "engine": "FusedOrthoFusionPlan",
         "warp_kernel": warp_kernel,
+        "warp_backend": plan.warp_statics.backend,
     }))
 
 

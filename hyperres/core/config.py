@@ -37,6 +37,11 @@ class OrthoConfig:
     # "taploop": per-tap gathers, bit-identical to the two-step
     # gather+2D-cubic semantics the reference's gdalwarp implements.
     warp_kernel: str = "two_pass"
+    # two-pass einsum backend: "auto" upgrades to the banded
+    # block-sparse Pallas kernels on TPU when the warp geometry fits
+    # their 384-sample windows (bit-level parity, ~26% faster full
+    # pipeline measured round 3); "xla" forces the dense einsums
+    warp_backend: str = "auto"
     resampling: str = "cubic"           # emit_proj.py:924 (-r cubic)
     write_xml: bool = True              # emit_proj.py:571
     save_geotiffs: bool = True          # emit_proj.py:577

@@ -371,7 +371,7 @@ class FusedOrthoFusionPlan:
         config: PolyFusionConfig = PolyFusionConfig(),
         s2_nodata: Optional[float] = None,
         s2_scale: Optional[float] = None,
-        warp_kernel: str = "two_pass",
+        warp_kernel: str = "auto",
         resampling: str = "cubic",
         orthowarp_row_chunks: int = 64,
         return_intermediates: bool = False,
@@ -388,14 +388,25 @@ class FusedOrthoFusionPlan:
         self._wc = jnp.asarray(wc)
         # "pallas" selects the two-pass scanline decomposition with the
         # Pallas VMEM-weight einsum backend; "pallas_banded" the
-        # block-sparse window kernels (feasibility host-checked here)
+        # block-sparse window kernels (feasibility host-checked here);
+        # "auto" picks pallas_banded on TPU when the geometry allows
+        # (measured 0.482 s vs 0.652 s full-plan e2e, round 3) and the
+        # XLA two-pass otherwise
         backend = "auto"
         if warp_kernel == "pallas":
             warp_kernel, backend = "two_pass", "pallas"
         cstar_np = (scanline_cstar(wr, wc, ortho_grid.height)
-                    if warp_kernel in ("two_pass", "pallas_banded")
+                    if warp_kernel in ("two_pass", "pallas_banded",
+                                       "auto")
                     else None)
-        if warp_kernel == "pallas_banded":
+        if warp_kernel == "auto":
+            from ..kernels.pallas_ops import banded_spans_ok
+            warp_kernel = "two_pass"
+            if (jax.default_backend() == "tpu"
+                    and banded_spans_ok(np.asarray(cstar_np))
+                    and banded_spans_ok(np.asarray(wr).T)):
+                backend = "pallas_banded"
+        elif warp_kernel == "pallas_banded":
             from ..kernels.pallas_ops import banded_spans_ok
             if not (banded_spans_ok(np.asarray(cstar_np))
                     and banded_spans_ok(np.asarray(wr).T)):

@@ -228,3 +228,40 @@ def test_predict_cube_u16_matches_host_path(rng):
     assert q_dev[:, 3, 5].max() == 65535 and q_dev[:, 10, 2].max() == 65535
     d = np.abs(q_dev.astype(np.int32) - q_ref.astype(np.int32))
     assert d.max() <= 1  # f32 sigmoid rounding at the quantization edge
+
+
+def test_fused_plan_pallas_banded_matches_xla(tmp_path):
+    """FusedOrthoFusionPlan(warp_kernel='pallas_banded') reproduces the
+    XLA two-pass plan (interpret-mode Pallas on CPU)."""
+    from hyperres.core.grid import s2_anchored_target_grid
+    from hyperres.fusion.fused import FusedOrthoFusionPlan
+    from hyperres.io.granule import EmitGranule
+
+    scene = make_scene(tmp_path / "scene", raw_shape=(40, 44), n_bands=48,
+                       s2_size=180)
+    with EmitGranule(scene.emit_nc_path) as g:
+        raw = g.read_cube()
+        args = (g.ortho_grid,
+                s2_anchored_target_grid(g.ortho_grid, scene.s2_grid,
+                                        60.0, 60.0),
+                scene.s2_grid, (g.raw_height, g.raw_width), g.glt,
+                g.wavelengths, g.good_wavelengths)
+    from hyperres.io.tiff import TiffReader
+    with TiffReader(scene.s2_tif_path) as t:
+        stack = t.read().astype(np.float32)
+        nodata = t.nodata
+    kw = dict(s2_nodata=nodata, s2_scale=1e-4)
+    plan_x = FusedOrthoFusionPlan(*args, warp_kernel="two_pass", **kw)
+    plan_b = FusedOrthoFusionPlan(*args, warp_kernel="pallas_banded",
+                                  **kw)
+    assert plan_b.warp_statics.backend == "pallas_banded"
+    a = plan_x(raw, plan_x.prepare_s2(stack))
+    b = plan_b(raw, plan_b.prepare_s2(stack))
+    va = np.isfinite(np.asarray(a["fused_10m"])).all(-1)
+    vb = np.isfinite(np.asarray(b["fused_10m"])).all(-1)
+    np.testing.assert_array_equal(va, vb)
+    d = np.abs(np.asarray(a["fused_10m"])[va]
+               - np.asarray(b["fused_10m"])[vb])
+    assert d.max() < 1e-4
+    np.testing.assert_allclose(np.asarray(a["coeffs"]),
+                               np.asarray(b["coeffs"]), atol=1e-4)
