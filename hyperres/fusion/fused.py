@@ -54,8 +54,9 @@ from ..kernels.srf import (
 from ..kernels.stats import shared_percentile_stretch
 from ..kernels.warp import (
     orthowarp_taploop, orthowarp_two_pass, scanline_cstar,
-    separable_index_axes, separable_resample_matmul,
-    separable_weight_matrix, source_index_field,
+    separable_fast_spec, separable_index_axes, separable_resample_fast,
+    separable_resample_matmul, separable_weight_matrix,
+    source_index_field,
 )
 from .sampling import sample_valid_pixels_device
 
@@ -82,6 +83,14 @@ class FusionStatics:
     s2_nodata: Optional[float]
     lin_min_count: int
     return_intermediates: bool
+    # integer-aligned fast resample specs (kernels.warp
+    # separable_fast_spec): (row_spec, col_spec) or None -> the dense
+    # weight-matrix matmul path. The S2-anchored grid contract makes
+    # both production transfers (10 m -> 60 m average, 60 m -> 10 m
+    # bilinear) exact integer-ratio operations, so these are normally
+    # set and the W matrices stay 1x1 dummies.
+    down_fast: Optional[tuple] = None
+    up_fast: Optional[tuple] = None
 
 
 @dataclass(frozen=True)
@@ -117,8 +126,14 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
                & (synth[..., 0] > 0)
                & (cube_hwb[..., 0] != st.emit_nodata))
     # Phase 2: real S2 RGB box-averaged onto the EMIT grid
-    s2_60 = separable_resample_matmul(s2rgb10_hwb, Wr60, Wc60,
-                                      nodata=st.s2_nodata, fill=jnp.nan)
+    if st.down_fast is not None:
+        s2_60 = separable_resample_fast(
+            s2rgb10_hwb, st.down_fast[0], st.down_fast[1],
+            nodata=st.s2_nodata, fill=jnp.nan)
+    else:
+        s2_60 = separable_resample_matmul(s2rgb10_hwb, Wr60, Wc60,
+                                          nodata=st.s2_nodata,
+                                          fill=jnp.nan)
     valid60 = valid60 & jnp.isfinite(s2_60).all(axis=-1)
     n_valid = jnp.sum(valid60)
     # Phase 3: shared stretch (display order B4,B3,B2) + fit
@@ -197,8 +212,14 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
     # sources (NaN swaths or sentinel nodata) contribute nothing instead
     # of poisoning (NaN) or skewing (sentinel) boundary pixels; zero
     # valid mass -> NaN -> masked
-    sim10 = separable_resample_matmul(emit_n, Wr10, Wc10, fill=jnp.nan,
-                                      valid_mask=valid60)
+    if st.up_fast is not None:
+        sim10 = separable_resample_fast(emit_n, st.up_fast[0],
+                                        st.up_fast[1], fill=jnp.nan,
+                                        valid_mask=valid60)
+    else:
+        sim10 = separable_resample_matmul(emit_n, Wr10, Wc10,
+                                          fill=jnp.nan,
+                                          valid_mask=valid60)
     mask10 = jnp.isfinite(sim10).all(axis=-1)
     mapped10 = jnp.clip(apply(jnp.nan_to_num(sim10), mask10), 0.0, 1.0)
     fused = jnp.where(mask10[..., None], mapped10, jnp.nan)
@@ -266,15 +287,51 @@ def _fusion_matrices(
         raise FusedUnsupported(
             "fused path needs same-CRS axis-aligned grids "
             f"(emit crs {emit_grid.crs}, s2 crs {s2_grid.crs})")
-    Wr60 = separable_weight_matrix(sep_down[0], s2_grid.height, "average",
-                                   scale=emit_grid.dy / s2_grid.dy)
-    Wc60 = separable_weight_matrix(sep_down[1], s2_grid.width, "average",
-                                   scale=emit_grid.dx / s2_grid.dx)
-    Wr10 = separable_weight_matrix(sep_up[0], emit_grid.height, "bilinear")
-    Wc10 = separable_weight_matrix(sep_up[1], emit_grid.width, "bilinear")
+
+    # f64 index axes for fast-spec detection (the f32 matrix-builder
+    # inputs carry ~1e-3 px rounding at 10 m grid sizes, enough to
+    # blur an exact phase pattern)
+    def _axes64(src, dst):
+        xs, ys = dst.pixel_center_coords()
+        cols, _ = src.colrow_of(xs, src.y0)
+        _, rows = src.colrow_of(src.x0, ys)
+        return np.asarray(rows, np.float64), np.asarray(cols, np.float64)
+
+    d64 = _axes64(s2_grid, emit_grid)
+    u64 = _axes64(emit_grid, s2_grid)
+    down_fast_r = separable_fast_spec(d64[0], s2_grid.height, "average",
+                                      scale=emit_grid.dy / s2_grid.dy)
+    down_fast_c = separable_fast_spec(d64[1], s2_grid.width, "average",
+                                      scale=emit_grid.dx / s2_grid.dx)
+    up_fast_r = separable_fast_spec(u64[0], emit_grid.height, "bilinear")
+    up_fast_c = separable_fast_spec(u64[1], emit_grid.width, "bilinear")
+    down_fast = ((down_fast_r, down_fast_c)
+                 if down_fast_r is not None and down_fast_c is not None
+                 else None)
+    up_fast = ((up_fast_r, up_fast_c)
+               if up_fast_r is not None and up_fast_c is not None
+               else None)
+
+    dummy = np.zeros((1, 1), np.float32)
+    if down_fast is None:
+        Wr60 = separable_weight_matrix(sep_down[0], s2_grid.height,
+                                       "average",
+                                       scale=emit_grid.dy / s2_grid.dy)
+        Wc60 = separable_weight_matrix(sep_down[1], s2_grid.width,
+                                       "average",
+                                       scale=emit_grid.dx / s2_grid.dx)
+    else:
+        Wr60, Wc60 = dummy, dummy
+    if up_fast is None:
+        Wr10 = separable_weight_matrix(sep_up[0], emit_grid.height,
+                                       "bilinear")
+        Wc10 = separable_weight_matrix(sep_up[1], emit_grid.width,
+                                       "bilinear")
+    else:
+        Wr10, Wc10 = dummy, dummy
     return (jnp.asarray(np.asarray(Wsrf, np.float32)), names,
             jnp.asarray(Wr60), jnp.asarray(Wc60),
-            jnp.asarray(Wr10), jnp.asarray(Wc10))
+            jnp.asarray(Wr10), jnp.asarray(Wc10), down_fast, up_fast)
 
 
 class FusedFusionPlan:
@@ -311,7 +368,7 @@ class FusedFusionPlan:
         self.config = config
         self.s2_scale = s2_scale
         (self._Wsrf, self.band_names, self._Wr60, self._Wc60,
-         self._Wr10, self._Wc10) = _fusion_matrices(
+         self._Wr10, self._Wc10, down_fast, up_fast) = _fusion_matrices(
             emit_grid, s2_grid, np.asarray(wavelengths), good_mask,
             platform, synth_method)
         nod = s2_nodata
@@ -325,7 +382,8 @@ class FusedFusionPlan:
             emit_nodata=NO_DATA_VALUE,
             s2_nodata=None if nod is None else float(nod),
             lin_min_count=lin_min_count,
-            return_intermediates=return_intermediates)
+            return_intermediates=return_intermediates,
+            down_fast=down_fast, up_fast=up_fast)
 
     def prepare_s2(self, s2_stack_bhw: np.ndarray,
                    rgb_band_idx: Tuple[int, int, int] = (0, 1, 2)):

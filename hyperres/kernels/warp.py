@@ -344,6 +344,195 @@ def separable_resample_matmul(img: jax.Array, Wr: jax.Array, Wc: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Separable resampling, integer-aligned fast paths (VPU, no weight matrices)
+# ---------------------------------------------------------------------------
+#
+# The dense (Dst, Src) weight matrices above are >97 % structural zeros
+# for the production grid transfers: the S2-anchored contract
+# (core/grid.s2_anchored_target_grid, reference _compute_te
+# emit_proj.py:354-382) makes the 10 m <-> 60 m transfers EXACT
+# integer-ratio aligned operations. For those, the average downsample is
+# a pad + reshape + block-sum and the bilinear upsample is a
+# phase-cycled lerp of shifted slices — a few GB of VPU traffic instead
+# of ~1.8 TFLOP of dense MXU contractions plus ~220 MB of resident
+# weight matrices. ``separable_fast_spec`` detects the structure
+# host-side and returns a small hashable spec; ``separable_resample_fast``
+# reproduces ``separable_resample_matmul``'s nodata/renormalisation
+# semantics exactly (dropped out-of-range taps == zero padding; fill
+# where the centre leaves the source or the covered mass vanishes).
+
+def separable_fast_spec(idx_1d: np.ndarray, src_size: int,
+                        method: str = "bilinear",
+                        scale: Optional[float] = None,
+                        tol: float = 2e-3):
+    """Detect integer-aligned structure in a separable index field.
+
+    Returns a hashable spec tuple or None (caller falls back to the
+    weight-matrix path).
+
+    - ``average`` with uniform integer step f and block-aligned spans:
+      ``("avg", f, j0, dst, src, cin_lo, cin_hi)`` — dst cell d covers
+      source pixels ``[j0 + f*d, j0 + f*(d+1))`` with equal weights.
+    - ``bilinear`` with uniform step 1/f (integer f >= 1):
+      ``("bilin", f, (r0 per phase...), (t per phase...), dst, src,
+      cin_lo, cin_hi)`` — out[k*f + p] lerps source ``r0[p]+k`` and
+      ``r0[p]+k+1`` with constant fraction ``t[p]``.
+
+    ``cin_lo:cin_hi`` is the destination index range whose centres lie
+    inside the source extent (outside -> fill, matching the all-zero
+    rows the matrix builder emits).
+    """
+    idx = np.asarray(idx_1d, dtype=np.float64)
+    dst = idx.shape[0]
+    if dst == 0:
+        return None
+    cin = (idx >= -0.5) & (idx <= src_size - 0.5)
+    if cin.any():
+        cin_lo = int(np.argmax(cin))
+        cin_hi = int(dst - np.argmax(cin[::-1]))
+        if not cin[cin_lo:cin_hi].all():  # non-contiguous: bail
+            return None
+    else:
+        cin_lo = cin_hi = 0
+    if method == "average":
+        if dst >= 2:
+            d = np.diff(idx)
+            f = d[0]
+            if not np.allclose(d, f, rtol=0, atol=tol):
+                return None
+        else:
+            f = float(scale) if scale is not None else None
+            if f is None:
+                return None
+        fi = int(round(f))
+        if fi < 1 or abs(f - fi) > tol:
+            return None
+        if scale is not None and abs(abs(float(scale)) - fi) > tol:
+            return None
+        # block alignment: lo + 0.5 = idx - f/2 + 0.5 must be integer
+        j0f = idx[0] - fi / 2.0 + 0.5
+        j0 = int(round(j0f))
+        if abs(j0f - j0) > tol:
+            return None
+        return ("avg", fi, j0, dst, int(src_size), cin_lo, cin_hi)
+    if method == "bilinear":
+        if dst >= 2:
+            d = np.diff(idx)
+            s = d[0]
+            if s <= 0 or not np.allclose(d, s, rtol=0, atol=tol):
+                return None
+            f = int(round(1.0 / s))
+            if f < 1 or abs(s - 1.0 / f) > tol / max(dst, 1):
+                return None
+        else:
+            f = 1
+        r0s, ts = [], []
+        for p in range(min(f, dst)):
+            ph = idx[p::f]
+            r0 = np.floor(ph).astype(np.int64)
+            t = ph - r0
+            if not (np.all(np.diff(r0) == 1)
+                    and np.allclose(t, t[0], rtol=0, atol=tol)):
+                return None
+            r0s.append(int(r0[0]))
+            ts.append(float(np.median(t)))
+        if len(r0s) < f:  # dst shorter than one period
+            base = r0s[0] if r0s else 0
+            while len(r0s) < f:
+                r0s.append(base)
+                ts.append(0.0)
+        return ("bilin", f, tuple(r0s), tuple(ts), dst, int(src_size),
+                cin_lo, cin_hi)
+    return None
+
+
+def _fast_pass(arr: jax.Array, spec, axis: int) -> jax.Array:
+    """One fast separable pass along ``axis`` (0 or 1) of (H, W, B).
+
+    Returns the raw weighted sums (average: block-sum / f; bilinear:
+    two-tap lerp). Out-of-range taps contribute zero (matching dropped
+    matrix taps); centre-in masking is applied by the caller."""
+    kind, f = spec[0], spec[1]
+    size = arr.shape[axis]
+    if kind == "avg":
+        _, _, j0, dst, _src, _lo, _hi = spec
+        lo_pad = max(0, -j0)
+        hi_pad = max(0, j0 + f * dst - size)
+        pw = [(0, 0), (0, 0), (0, 0)]
+        pw[axis] = (lo_pad, hi_pad)
+        a = jnp.pad(arr, pw) if (lo_pad or hi_pad) else arr
+        start = j0 + lo_pad
+        if axis == 0:
+            a = jax.lax.slice_in_dim(a, start, start + f * dst, axis=0)
+            a = a.reshape(dst, f, a.shape[1], a.shape[2])
+            return jnp.sum(a, axis=1) * jnp.float32(1.0 / f)
+        a = jax.lax.slice_in_dim(a, start, start + f * dst, axis=1)
+        a = a.reshape(a.shape[0], dst, f, a.shape[2])
+        return jnp.sum(a, axis=2) * jnp.float32(1.0 / f)
+    # bilinear
+    _, _, r0s, ts, dst, _src, _lo, _hi = spec
+    n_full = (dst + f - 1) // f
+    lo_pad = max(0, -min(r0s))
+    hi_pad = max(0, max(r0s) + n_full + 1 - size)
+    pw = [(0, 0), (0, 0), (0, 0)]
+    pw[axis] = (lo_pad, hi_pad)
+    a = jnp.pad(arr, pw) if (lo_pad or hi_pad) else arr
+    phases = []
+    for p in range(f):
+        s0 = r0s[p] + lo_pad
+        seg0 = jax.lax.slice_in_dim(a, s0, s0 + n_full, axis=axis)
+        seg1 = jax.lax.slice_in_dim(a, s0 + 1, s0 + 1 + n_full, axis=axis)
+        t = jnp.float32(ts[p])
+        phases.append(seg0 * (1.0 - t) + seg1 * t)
+    out = jnp.stack(phases, axis=axis + 1)  # (..., n_full, f, ...)
+    if axis == 0:
+        out = out.reshape(n_full * f, out.shape[2], out.shape[3])
+        return out[:dst]
+    out = out.reshape(out.shape[0], n_full * f, out.shape[3])
+    return out[:, :dst]
+
+
+@partial(jax.jit, static_argnames=("spec_r", "spec_c", "fill"))
+def separable_resample_fast(img: jax.Array, spec_r, spec_c,
+                            nodata: Optional[float] = None,
+                            fill: float = NO_DATA_VALUE,
+                            valid_mask: Optional[jax.Array] = None
+                            ) -> jax.Array:
+    """Integer-aligned equivalent of ``separable_resample_matmul``:
+    identical nodata-excluded renormalisation, computed as pad/reshape
+    block sums (average) and phase-cycled slice lerps (bilinear) on the
+    VPU. Exact in f32 (the matmul path's DEFAULT precision is bf16)."""
+    img = img.astype(jnp.float32)
+
+    def passes(arr):
+        return _fast_pass(_fast_pass(arr, spec_r, 0), spec_c, 1)
+
+    if valid_mask is not None:
+        ok = valid_mask[..., None]
+        if nodata is not None:
+            ok = ok & (img != nodata) & jnp.isfinite(img)
+            den = passes(ok.astype(jnp.float32))
+        else:
+            den = passes(valid_mask.astype(jnp.float32)[..., None])
+        num = passes(jnp.where(ok, img, 0.0))
+    elif nodata is not None:
+        ok = (img != nodata) & jnp.isfinite(img)
+        num = passes(jnp.where(ok, img, 0.0))
+        den = passes(ok.astype(jnp.float32))
+    else:
+        num = passes(img)
+        den = passes(jnp.ones(img.shape[:2] + (1,), jnp.float32))
+    good = jnp.abs(den) > 1e-6
+    r_in = ((jnp.arange(num.shape[0]) >= spec_r[-2])
+            & (jnp.arange(num.shape[0]) < spec_r[-1]))
+    c_in = ((jnp.arange(num.shape[1]) >= spec_c[-2])
+            & (jnp.arange(num.shape[1]) < spec_c[-1]))
+    good = good & r_in[:, None, None] & c_in[None, :, None]
+    return jnp.where(good, num / jnp.where(good, den, 1.0),
+                     jnp.asarray(fill, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
 # High-level API
 # ---------------------------------------------------------------------------
 

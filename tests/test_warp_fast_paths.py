@@ -310,3 +310,112 @@ def test_two_pass_pallas_backend_matches_xla(rng):
     rel = np.abs(a - b) / (np.abs(a) + 1.0)
     assert rel[vm].max() < 1e-3
     assert np.percentile(np.abs(a - b)[vm], 99) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Integer-aligned separable fast paths (round 3): pad/reshape block-sum
+# average and phase-cycled lerp bilinear vs the weight-matrix matmuls
+# ---------------------------------------------------------------------------
+
+def _aligned_grids():
+    from hyperres.core.crs import CRS
+    from hyperres.core.grid import Grid
+
+    utm = CRS.utm(33, True)
+    emit = Grid(utm, 500000.0, 5800000.0, 60.0, 60.0, 37, 41)
+    # 10 m grid on the 60 m lattice, overhanging the 60 m grid
+    s2 = Grid(utm, 500000.0 - 120.0, 5800000.0 + 60.0, 10.0, 10.0,
+              229, 233)
+    return emit, s2
+
+
+def _axes64(src, dst):
+    xs, ys = dst.pixel_center_coords()
+    cols, _ = src.colrow_of(xs, src.y0)
+    _, rows = src.colrow_of(src.x0, ys)
+    return np.asarray(rows, np.float64), np.asarray(cols, np.float64)
+
+
+@pytest.mark.parametrize("direction", ["down_average", "up_bilinear"])
+@pytest.mark.parametrize("masking", ["none", "nodata", "vm", "both"])
+def test_separable_fast_matches_matmul(rng, direction, masking):
+    from hyperres.core.grid import Grid  # noqa: F401 (fixture import)
+
+    emit, s2 = _aligned_grids()
+    if direction == "down_average":
+        src, dst, method, scale = s2, emit, "average", 6.0
+    else:
+        src, dst, method, scale = emit, s2, "bilinear", None
+
+    r64, c64 = _axes64(src, dst)
+    sr = kw.separable_fast_spec(r64, src.height, method, scale=scale)
+    sc = kw.separable_fast_spec(c64, src.width, method, scale=scale)
+    assert sr is not None and sc is not None
+    assert sr[0] == ("avg" if method == "average" else "bilin")
+    assert sr[1] == 6
+
+    idx = kw.separable_index_axes(src, dst)
+    Wr = kw.separable_weight_matrix(idx[0], src.height, method,
+                                    scale=scale)
+    Wc = kw.separable_weight_matrix(idx[1], src.width, method,
+                                    scale=scale)
+
+    img = rng.random((src.height, src.width, 3)).astype(np.float32)
+    nodata = None
+    vm = None
+    if masking in ("nodata", "both"):
+        nodata = -9999.0
+        img[5, 3:9, :] = -9999.0
+        img[8:10, :, 1] = np.nan  # non-finite counts as nodata too
+    if masking in ("vm", "both"):
+        vm = rng.random((src.height, src.width)) > 0.25
+
+    ref = np.asarray(kw.separable_resample_matmul(
+        jnp.asarray(img), jnp.asarray(Wr), jnp.asarray(Wc),
+        nodata=nodata, fill=np.nan, fast=False,
+        valid_mask=None if vm is None else jnp.asarray(vm)))
+    got = np.asarray(kw.separable_resample_fast(
+        jnp.asarray(img), sr, sc, nodata=nodata, fill=np.nan,
+        valid_mask=None if vm is None else jnp.asarray(vm)))
+    assert got.shape == (dst.height, dst.width, 3)
+    assert (np.isfinite(ref) == np.isfinite(got)).all()
+    both = np.isfinite(ref)
+    np.testing.assert_allclose(got[both], ref[both], rtol=0, atol=2e-5)
+    # edge cells outside the source extent must be fill in both
+    assert np.isnan(got[0 if direction == "down_average" else -1]).any() \
+        or both.all()
+
+
+def test_separable_fast_spec_rejects_unaligned():
+    # non-integer ratio
+    idx = (np.arange(40) + 0.5) / 5.5 - 0.5
+    assert kw.separable_fast_spec(idx, 300, "bilinear") is None
+    # integer ratio but misaligned block start for average
+    idx = np.arange(30) * 6.0 + 2.5 + 0.3
+    assert kw.separable_fast_spec(idx, 200, "average", scale=6.0) is None
+    # non-uniform steps
+    idx = np.cumsum(np.full(30, 6.0) + np.linspace(0, 0.1, 30))
+    assert kw.separable_fast_spec(idx, 400, "average", scale=6.0) is None
+
+
+def test_fused_plan_uses_fast_specs():
+    """FusedFusionPlan on S2-anchored grids activates both fast specs
+    and keeps the dense weight matrices as 1x1 dummies; an unaligned
+    S2 grid falls back to the matmuls."""
+    from hyperres.core.grid import Grid
+    from hyperres.fusion.fused import FusedFusionPlan
+    from hyperres.testing import scenes
+
+    emit, s2 = _aligned_grids()
+    wl, good = scenes.emit_wavelength_grid(285)
+    plan = FusedFusionPlan(emit, s2, wl, good, s2_nodata=65535.0,
+                           s2_scale=1e-4)
+    assert plan.statics.down_fast is not None
+    assert plan.statics.up_fast is not None
+    assert plan._Wr60.shape == (1, 1) and plan._Wr10.shape == (1, 1)
+
+    off = Grid(s2.crs, s2.x0 + 5.0, s2.y0, 10.0, 10.0, s2.width,
+               s2.height)  # origin off the 60 m lattice
+    plan2 = FusedFusionPlan(emit, off, wl, good)
+    assert plan2.statics.down_fast is None
+    assert plan2._Wr60.shape != (1, 1)
