@@ -31,6 +31,7 @@ HYPERRES_BENCH_TRANSFER (u16 default | u12 | f32 raw-cube ingest).
 
 import json
 import os
+import pickle
 import sys
 import time
 
@@ -41,8 +42,43 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+# bump when the scene generator changes so stale caches don't survive
+_SCENE_VERSION = 1
+_SCENE_KEYS = ("raw", "s2_dn", "wavelengths", "good_mask", "spectra",
+               "ortho_grid", "utm60", "s2_grid", "glt")
+
+
+def _scene_cache_path(scale: float, seed: int) -> str:
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".benchcache")
+    return os.path.join(d, f"scene_v{_SCENE_VERSION}_s{scale}_r{seed}.pkl")
+
+
+def _load_scene(scale: float, seed: int):
+    p = _scene_cache_path(scale, seed)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p, "rb") as f:
+            sc = pickle.load(f)
+        return sc if all(k in sc for k in _SCENE_KEYS) else None
+    except Exception:
+        return None
+
+
+def _save_scene(scale: float, seed: int, scene: dict) -> None:
+    p = _scene_cache_path(scale, seed)
+    try:
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p + ".tmp", "wb") as f:
+            pickle.dump(scene, f, protocol=5)
+        os.replace(p + ".tmp", p)
+    except Exception as e:  # cache is best-effort (disk pressure etc.)
+        log(f"scene cache write skipped: {e}")
+
+
 def build_workload(scale: float = 1.0, warp_kernel: str = "two_pass",
-                   seed: int = 0, config=None):
+                   seed: int = 0, config=None, scene_cache: bool = False):
     """Synthesize the full-granule bench scene and build the SHIPPED
     pipeline plan over it.
 
@@ -51,10 +87,32 @@ def build_workload(scale: float = 1.0, warp_kernel: str = "two_pass",
     — the reference's download format, s2_data/s2_utils.py:505-614),
     and the three grids. Importable by CI tests so the benched program
     and the tested program are the same object.
+
+    ``scene_cache=True`` memoizes the (deterministic) generated scene
+    under ``.benchcache/`` — scene synthesis is minutes of single-core
+    host NumPy at full scale, pure waste on repeat runs.
     """
+    from hyperres.core.config import PolyFusionConfig
+    from hyperres.fusion.fused import FusedOrthoFusionPlan
+
+    scene = _load_scene(scale, seed) if scene_cache else None
+    if scene is None:
+        scene = _generate_scene(scale, seed)
+        if scene_cache:
+            _save_scene(scale, seed, scene)
+    raw_h, raw_w = scene["raw"].shape[:2]
+    plan = FusedOrthoFusionPlan(
+        scene["ortho_grid"], scene["utm60"], scene["s2_grid"],
+        (raw_h, raw_w), scene["glt"], scene["wavelengths"],
+        scene["good_mask"], s2_nodata=65535.0, s2_scale=1e-4,
+        warp_kernel=warp_kernel,
+        config=config if config is not None else PolyFusionConfig())
+    return dict(scene, plan=plan)
+
+
+def _generate_scene(scale: float, seed: int) -> dict:
     from hyperres.core.crs import CRS
     from hyperres.core.grid import Grid, s2_anchored_target_grid
-    from hyperres.fusion.fused import FusedOrthoFusionPlan
     from hyperres.kernels.srf import build_srf_weight_matrix
     from hyperres.spectral import builtin_srf
     from hyperres.testing import scenes
@@ -154,13 +212,7 @@ def build_workload(scale: float = 1.0, warp_kernel: str = "two_pass",
     ).astype(np.uint16)
     del rgb_c, rows_interp, rgb10
 
-    from hyperres.core.config import PolyFusionConfig
-    plan = FusedOrthoFusionPlan(
-        ortho_grid, utm60, s2_grid, (raw_h, raw_w), glt, wl, good,
-        s2_nodata=65535.0, s2_scale=1e-4, warp_kernel=warp_kernel,
-        config=config if config is not None else PolyFusionConfig())
     return {
-        "plan": plan,
         "raw": raw,
         "s2_dn": s2_dn,
         "wavelengths": wl,
@@ -191,7 +243,7 @@ def main():
     log(f"devices: {devs}")
 
     log(f"generating scene + plan (scale {scale}) ...")
-    wk = build_workload(scale, warp_kernel)
+    wk = build_workload(scale, warp_kernel, scene_cache=True)
     plan = wk["plan"]
     raw = wk["raw"]
     utm60 = wk["utm60"]
