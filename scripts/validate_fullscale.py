@@ -10,8 +10,11 @@ path, at real granule scale. Usage:
 
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
@@ -80,30 +83,61 @@ def main():
     print(f"raw {raw_h}x{raw_w}x{n_bands}; utm60 "
           f"{utm60.height}x{utm60.width}", flush=True)
 
-    # truth at UTM pixel centres
+    # truth at UTM pixel centres: upload only the (H, W, K) abundance
+    # maps (~50 MB) and mix on device — fetching three 2.5 GB product
+    # cubes to host for metrics takes minutes each on the axon tunnel
     uxs, uys = utm60.pixel_center_coords()
     UX, UY = np.meshgrid(uxs, uys)
-    truth = scenes.truth_reflectance(UX, UY, spectra, seed=0)
+    a_truth = scenes.abundance_maps(UX, UY).astype(np.float32)
     noise_floor_db = 10 * np.log10(1.0 / noise ** 2)
 
-    from scipy.ndimage import binary_erosion
-    dev = [jax.device_put(a) for a in (raw, flat_idx, valid, wr, wc)]
-    for kernel in ("taploop", "two_pass"):
-        t0 = time.perf_counter()
-        if kernel == "two_pass":
-            cube = np.asarray(orthowarp_two_pass(
-                *dev, jax.device_put(cstar), method="cubic",
-                fill=-9999.0))
-        else:
-            cube = np.asarray(orthowarp_taploop(
-                *dev, method="cubic", fill=-9999.0, row_chunks=64))
-        print(f"{kernel} orthowarp (incl. compile+transfer): "
-              f"{time.perf_counter() - t0:.1f}s", flush=True)
+    @jax.jit
+    def device_metrics(cube, a_t, spec):
+        """valid_frac, PSNR, mean SAM over the 2-px-eroded interior —
+        same semantics as pipeline.psnr/sam on cube[binary_erosion(
+        vmask, iterations=2)] (cross structure, border erodes away)."""
+        truth = jnp.clip(a_t @ spec, 0.005, 0.95)
         vmask = cube[..., 0] != -9999.0
-        interior = binary_erosion(vmask, iterations=2)
-        p = psnr(cube[interior], truth[interior])
-        s = sam(cube[interior], truth[interior])
-        print(f"{kernel}: valid fraction {vmask.mean():.3f}; "
+
+        def erode(m):
+            p = jnp.pad(m, 1, constant_values=False)
+            return (p[1:-1, 1:-1] & p[:-2, 1:-1] & p[2:, 1:-1]
+                    & p[1:-1, :-2] & p[1:-1, 2:])
+
+        e = erode(erode(vmask))
+        n_px = jnp.maximum(jnp.sum(e), 1)
+        d2 = jnp.sum((cube - truth) ** 2, axis=-1)
+        mse = jnp.sum(jnp.where(e, d2, 0.0)) / (n_px * cube.shape[-1])
+        p_db = 10.0 * jnp.log10(1.0 / mse)
+        num = jnp.sum(cube * truth, axis=-1)
+        den = (jnp.linalg.norm(cube, axis=-1)
+               * jnp.linalg.norm(truth, axis=-1) + 1e-12)
+        ang = jnp.arccos(jnp.clip(num / den, -1.0, 1.0))
+        s_rad = jnp.sum(jnp.where(e, ang, 0.0)) / n_px
+        return vmask.mean(), p_db, s_rad
+
+    from hyperres.kernels.pallas_ops import banded_spans_ok
+    dev = [jax.device_put(a) for a in (raw, flat_idx, valid, wr, wc)]
+    a_t = jax.device_put(a_truth)
+    spec_j = jax.device_put(spectra.astype(np.float32))
+    kernels = ["taploop", "two_pass"]
+    if banded_spans_ok(cstar) and banded_spans_ok(np.asarray(wr).T):
+        kernels.append("two_pass/pallas_banded")
+    for kernel in kernels:
+        t0 = time.perf_counter()
+        if kernel.startswith("two_pass"):
+            backend = ("pallas_banded" if kernel.endswith("pallas_banded")
+                       else "xla")
+            cube = orthowarp_two_pass(
+                *dev, jax.device_put(cstar), method="cubic",
+                fill=-9999.0, backend=backend)
+        else:
+            cube = orthowarp_taploop(
+                *dev, method="cubic", fill=-9999.0, row_chunks=64)
+        vf, p, s = (float(x) for x in device_metrics(cube, a_t, spec_j))
+        print(f"{kernel} orthowarp+metrics (incl. compile): "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        print(f"{kernel}: valid fraction {vf:.3f}; "
               f"PSNR vs world truth {p:.2f} dB "
               f"(sensor-noise ceiling ~{noise_floor_db:.1f} dB); "
               f"SAM {s:.5f} rad", flush=True)
