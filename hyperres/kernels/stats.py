@@ -163,3 +163,40 @@ def dequantize_u16(q: jax.Array, scale: jax.Array, offset: jax.Array,
     (emit_proj.py:432-455)."""
     x = q.astype(jnp.float32) * scale + offset
     return jnp.where(q == nodata_u16, jnp.asarray(fill, dtype=jnp.float32), x)
+
+
+def erode_mask(mask: jax.Array, iterations: int = 1) -> jax.Array:
+    """Binary erosion with the 4-connected cross structure (scipy
+    ``binary_erosion`` default semantics: outside the array counts as
+    background, so border pixels erode away)."""
+    m = mask
+    for _ in range(iterations):
+        p = jnp.pad(m, 1, constant_values=False)
+        m = (p[1:-1, 1:-1] & p[:-2, 1:-1] & p[2:, 1:-1]
+             & p[1:-1, :-2] & p[1:-1, 2:])
+    return m
+
+
+@partial(jax.jit, static_argnames=("erode",))
+def cube_psnr_sam(cube: jax.Array, truth: jax.Array, fill: float,
+                  erode: int = 2,
+                  data_range: float = 1.0) -> Tuple[jax.Array, jax.Array,
+                                                    jax.Array]:
+    """(valid_frac, PSNR dB, mean SAM rad) of an (H, W, B) product cube
+    against a truth cube, over the ``erode``-px interior of the valid
+    mask — the device-resident form of ``pipeline.psnr``/``sam`` on
+    ``cube[binary_erosion(valid, iterations=erode)]``. Scalar-only
+    readback: at granule scale, fetching the cube to host for metrics
+    costs minutes on constrained links."""
+    vmask = cube[..., 0] != fill
+    e = erode_mask(vmask, erode)
+    n_px = jnp.maximum(jnp.sum(e), 1)
+    d2 = jnp.sum((cube - truth) ** 2, axis=-1)
+    mse = jnp.sum(jnp.where(e, d2, 0.0)) / (n_px * cube.shape[-1])
+    p_db = 10.0 * jnp.log10(data_range ** 2 / mse)
+    num = jnp.sum(cube * truth, axis=-1)
+    den = (jnp.linalg.norm(cube, axis=-1)
+           * jnp.linalg.norm(truth, axis=-1) + 1e-12)
+    ang = jnp.arccos(jnp.clip(num / den, -1.0, 1.0))
+    s_rad = jnp.sum(jnp.where(e, ang, 0.0)) / n_px
+    return vmask.mean(), p_db, s_rad

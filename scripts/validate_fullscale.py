@@ -91,30 +91,12 @@ def main():
     a_truth = scenes.abundance_maps(UX, UY).astype(np.float32)
     noise_floor_db = 10 * np.log10(1.0 / noise ** 2)
 
+    from hyperres.kernels.stats import cube_psnr_sam
+
     @jax.jit
     def device_metrics(cube, a_t, spec):
-        """valid_frac, PSNR, mean SAM over the 2-px-eroded interior —
-        same semantics as pipeline.psnr/sam on cube[binary_erosion(
-        vmask, iterations=2)] (cross structure, border erodes away)."""
         truth = jnp.clip(a_t @ spec, 0.005, 0.95)
-        vmask = cube[..., 0] != -9999.0
-
-        def erode(m):
-            p = jnp.pad(m, 1, constant_values=False)
-            return (p[1:-1, 1:-1] & p[:-2, 1:-1] & p[2:, 1:-1]
-                    & p[1:-1, :-2] & p[1:-1, 2:])
-
-        e = erode(erode(vmask))
-        n_px = jnp.maximum(jnp.sum(e), 1)
-        d2 = jnp.sum((cube - truth) ** 2, axis=-1)
-        mse = jnp.sum(jnp.where(e, d2, 0.0)) / (n_px * cube.shape[-1])
-        p_db = 10.0 * jnp.log10(1.0 / mse)
-        num = jnp.sum(cube * truth, axis=-1)
-        den = (jnp.linalg.norm(cube, axis=-1)
-               * jnp.linalg.norm(truth, axis=-1) + 1e-12)
-        ang = jnp.arccos(jnp.clip(num / den, -1.0, 1.0))
-        s_rad = jnp.sum(jnp.where(e, ang, 0.0)) / n_px
-        return vmask.mean(), p_db, s_rad
+        return cube_psnr_sam(cube, truth, fill=-9999.0, erode=2)
 
     from hyperres.kernels.pallas_ops import banded_spans_ok
     dev = [jax.device_put(a) for a in (raw, flat_idx, valid, wr, wc)]

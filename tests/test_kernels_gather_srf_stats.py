@@ -206,3 +206,25 @@ def test_quantize_reflectance_matches_reference(rng):
     want = np.full(emit.shape, 65535, dtype=np.uint16)
     want[valid] = scaled[valid].astype(np.uint16)
     np.testing.assert_array_equal(got, want)
+
+
+def test_cube_psnr_sam_matches_host_oracle(rng):
+    """Device metrics vs pipeline.psnr/sam over the scipy-eroded
+    interior (the validate_fullscale.py contract)."""
+    from scipy.ndimage import binary_erosion
+
+    from hyperres.pipeline import psnr, sam
+
+    h, w, b = 40, 37, 9
+    truth = rng.random((h, w, b)).astype(np.float32) * 0.9 + 0.01
+    cube = truth + rng.normal(scale=0.01, size=(h, w, b)).astype(
+        np.float32)
+    invalid = rng.random((h, w)) > 0.7
+    cube[invalid] = -9999.0
+    vf, p, s = kstats.cube_psnr_sam(
+        jnp.asarray(cube), jnp.asarray(truth), fill=-9999.0, erode=2)
+    vmask = cube[..., 0] != -9999.0
+    interior = binary_erosion(vmask, iterations=2)
+    assert abs(float(vf) - vmask.mean()) < 1e-6
+    assert abs(float(p) - psnr(cube[interior], truth[interior])) < 0.01
+    assert abs(float(s) - sam(cube[interior], truth[interior])) < 1e-5
