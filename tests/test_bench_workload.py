@@ -73,3 +73,19 @@ def test_bench_workload_s2_is_production_format(workload):
     assert s2.dtype == np.uint16
     assert s2.shape[0] == 3
     assert s2.max() <= 65534  # never collides with the 65535 nodata
+
+
+def test_scene_cache_roundtrip(tmp_path, monkeypatch):
+    """The memoized bench scene reproduces the generated one bit-exactly
+    (so cached runs bench the identical program and inputs)."""
+    import bench as bench_mod
+
+    monkeypatch.setattr(
+        bench_mod, "_scene_cache_path",
+        lambda scale, seed: str(tmp_path / f"s{scale}_r{seed}.pkl"))
+    fresh = build_workload(scale=0.03, scene_cache=True)   # generates+saves
+    cached = build_workload(scale=0.03, scene_cache=True)  # loads
+    for k in ("raw", "s2_dn", "wavelengths", "good_mask", "glt"):
+        np.testing.assert_array_equal(fresh[k], cached[k])
+    assert cached["utm60"] == fresh["utm60"]
+    assert isinstance(cached["plan"], FusedOrthoFusionPlan)
