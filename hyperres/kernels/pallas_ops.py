@@ -34,6 +34,39 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _dot_f32(w: jax.Array, x: jax.Array, precision: str) -> jax.Array:
+    """f32 matmul inside a Mosaic kernel at a named precision.
+
+    Mosaic exposes ``Precision.HIGHEST`` (full f32, ~6 MXU passes) and
+    ``Precision.DEFAULT`` (1-pass bf16, ~6e-3 relative error) but not
+    XLA's 3-pass ``HIGH``. ``"high"`` is implemented here explicitly as
+    the standard bf16x3 split (Henry et al. 2019 — the same algorithm
+    XLA lowers HIGH to): w = w_hi + w_lo, x = x_hi + x_lo in bf16, keep
+    the three highest-order products. Max error ~2^-16 relative (matches
+    the XLA einsum path's measured 4.5e-5 at granule scale, below the
+    u16 product quantization step) at half the MXU passes of HIGHEST.
+    """
+    if precision == "highest":
+        return jnp.dot(w, x, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    if precision == "default":
+        return jnp.dot(w, x, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+    if precision != "high":
+        raise ValueError(f"Unknown precision {precision!r}")
+    w_hi = w.astype(jnp.bfloat16)
+    w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def bf16_dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.DEFAULT)
+
+    return (bf16_dot(w_hi, x_hi) + bf16_dot(w_hi, x_lo)
+            + bf16_dot(w_lo, x_hi))
+
+
 def pallas_srf_synthesize(
     cube_flat: jax.Array,        # (N, B) float32
     weights: jax.Array,          # (B, S) float32
@@ -173,13 +206,6 @@ def pallas_scanline_resample(
         interpret = _on_cpu()
     from jax.experimental import pallas as pl
 
-    # Mosaic implements HIGHEST (full f32) and DEFAULT (1-pass bf16)
-    # but not HIGH; "high" maps to HIGHEST — at these shapes the kernel
-    # is close to bandwidth-bound, so exactness costs little
-    _PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
-                   "high": jax.lax.Precision.HIGHEST,
-                   "default": jax.lax.Precision.DEFAULT}
-
     n, s, c = src.shape
     d = pos.shape[1]
     s_pad = _round_up(s, s_tile)
@@ -223,10 +249,7 @@ def pallas_scanline_resample(
             jnp.int32, (d_pad, s_tile), 1)
             + si * s_tile).astype(jnp.float32)
         w = profile(pos_ref[0, 0, :][:, None] - offs)     # (D, s_tile)
-        out_ref[0, :, :] += jnp.dot(
-            w, src_ref[0, :, :],
-            preferred_element_type=jnp.float32,
-            precision=_PRECISIONS[precision])
+        out_ref[0, :, :] += _dot_f32(w, src_ref[0, :, :], precision)
 
     out = pl.pallas_call(
         kernel,
@@ -259,6 +282,28 @@ _BANDED_NBLK = 3       # window = 3 blocks = 384 samples
 _BANDED_DTILE = 128    # destination columns/rows per block
 
 
+def _banded_group() -> int:
+    """Rows (pass 1) / columns (pass 2) sharing one scalar-prefetched
+    source window per grid step. Larger groups mean fewer, bigger grid
+    steps (the kernels are per-step-overhead bound at granule scale,
+    measured) at the cost of a wider position span per window; the
+    feasibility check (:func:`banded_spans_ok`) uses the same value.
+    Env-tunable for experiments: HYPERRES_BANDED_GROUP."""
+    import os
+
+    return max(1, int(os.environ.get("HYPERRES_BANDED_GROUP", "8")))
+
+
+def _banded_compiler_params():
+    """The bf16x3 "high" path's split temporaries push the kernels'
+    scoped-VMEM stack past Mosaic's 16 MB default; raise the limit to
+    64 MB (v5e has 128 MB VMEM — block double-buffering needs < 10 MB
+    on top of this)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
+
 def _banded_profile(method: str):
     if method == "cubic":
         a = -0.5
@@ -276,67 +321,67 @@ def _banded_profile(method: str):
     raise ValueError(f"Unknown method {method!r}")
 
 
-def _banded_starts(pos, s_pad: int, reduce_axes) -> "jnp.ndarray":
-    """Traced per-tile window block starts:
-    clip(floor((min_pos - 2.5) / 128), 0, S_blocks - NBLK). The window
-    [start*128, start*128 + 384) then covers every tap of every
-    position in the tile whenever the tile's span <= 384 - 128 - 5
-    (flooring can waste up to one block) — checked on the host by
-    :func:`banded_spans_ok`."""
-    mn = pos.min(reduce_axes)
-    n_blocks = s_pad // _BANDED_WBLK
-    return jnp.clip(jnp.floor((mn - 2.5) / _BANDED_WBLK), 0,
-                    max(n_blocks - _BANDED_NBLK, 0)).astype(jnp.int32)
+def banded_spans_ok(pos: np.ndarray, group: Optional[int] = None) -> bool:
+    """HOST feasibility check for the banded kernels: every destination
+    tile's source-position span must be <= 251 samples (window 384
+    minus one block of flooring slack minus the cubic support). True
+    for near-1:1 scanline warps (the EMIT ortho->UTM case); False for
+    strong down/upsampling, where the dense path or ``resample_to_grid``
+    applies.
 
-
-def banded_spans_ok(pos: np.ndarray) -> bool:
-    """HOST feasibility check for the banded kernels: every 128-wide
-    destination tile's source-position span must be <= 251 samples
-    (window 384 minus one block of flooring slack minus the cubic
-    support). True for near-1:1 scanline warps (the EMIT ortho->UTM
-    case); False for strong down/upsampling, where the dense path or
-    ``resample_to_grid`` applies."""
+    ``group`` models the kernels' actual window sharing: both passes
+    select ONE source window per (group leading rows/cols x 128
+    destination samples) block — pass 1 per 8 scanlines, pass 2 per 8
+    output columns — so the span is taken over the whole (group, 128)
+    block, not a single row. ``pos`` is (R, D): R grouped in ``group``
+    chunks, D tiled by 128."""
     pos = np.asarray(pos, dtype=np.float64)
-    d = pos.shape[-1]
+    if pos.ndim == 1:
+        pos = pos[None, :]
+    r, d = pos.shape[-2], pos.shape[-1]
     dt = _BANDED_DTILE
+    g = max(1, int(group if group is not None else _banded_group()))
     d_pad = _round_up(d, dt)
-    if d_pad != d:
-        pad = np.full(pos.shape[:-1] + (d_pad - d,), np.nan)
-        pos = np.concatenate([pos, pad], axis=-1)
-    t = pos.reshape(pos.shape[:-1] + (d_pad // dt, dt))
+    r_pad = _round_up(r, g)
+    if d_pad != d or r_pad != r:
+        padded = np.full(pos.shape[:-2] + (r_pad, d_pad), np.nan)
+        padded[..., :r, :d] = pos
+        pos = padded
+    t = pos.reshape(pos.shape[:-2] + (r_pad // g, g, d_pad // dt, dt))
     with np.errstate(invalid="ignore"):
-        span = np.nanmax(t, -1) - np.nanmin(t, -1)
+        span = np.nanmax(t, (-3, -1)) - np.nanmin(t, (-3, -1))
     return bool(np.nanmax(np.nan_to_num(span)) <= 251.0)
-
-
-_BANDED_PRECISIONS = {"highest": jax.lax.Precision.HIGHEST,
-                      "high": jax.lax.Precision.HIGHEST,
-                      "default": jax.lax.Precision.DEFAULT}
 
 
 def _banded_pass1(src, pos, method, precision, interpret):
     """Horizontal pass: out[n, d, c] = sum_s k(pos[n, d] - s) src[n, s, c]
-    contracting only a 384-sample window per 128-column tile.
-    src (N, S, C), pos (N, D) -> (N, D_pad, C)."""
+    contracting only a 384-sample window per (8 scanlines x 128 columns)
+    block — 8 rows share one scalar-prefetched window, which cuts the
+    grid to 1/8th of the per-scanline version (per-step dispatch
+    overhead dominated the pass at granule scale: ~20k steps of one
+    (128, 384)x(384, C) matmul each).
+    src (N, S, C), pos (N, D) -> (N_pad8, D_pad, C); padded rows carry
+    out-of-range positions so their outputs are exactly zero."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, s, c = src.shape
     d = pos.shape[1]
     W, NB, DT = _BANDED_WBLK, _BANDED_NBLK, _BANDED_DTILE
+    RG = _banded_group()
     s_pad = _round_up(max(s, NB * W), W)
     d_pad = _round_up(d, DT)
-    if s_pad != s:
-        src = jnp.pad(src, ((0, 0), (0, s_pad - s), (0, 0)))
-    if d_pad != d:
-        pos = jnp.pad(pos, ((0, 0), (0, d_pad - d)),
+    n_pad = _round_up(n, RG)
+    if s_pad != s or n_pad != n:
+        src = jnp.pad(src, ((0, n_pad - n), (0, s_pad - s), (0, 0)))
+    if d_pad != d or n_pad != n:
+        pos = jnp.pad(pos, ((0, n_pad - n), (0, d_pad - d)),
                       constant_values=1e6)
     starts = jnp.clip(
-        jnp.floor((pos.reshape(n, d_pad // DT, DT).min(-1) - 2.5) / W),
+        jnp.floor((pos.reshape(n_pad // RG, RG, d_pad // DT, DT)
+                   .min((1, 3)) - 2.5) / W),
         0, s_pad // W - NB).astype(jnp.int32)
-    pos3 = pos[:, None, :]
     profile = _banded_profile(method)
-    prec = _BANDED_PRECISIONS[precision]
 
     def kernel(st_ref, pos_ref, sA, sB, sC, o_ref):
         i = pl.program_id(0)
@@ -344,45 +389,66 @@ def _banded_pass1(src, pos, method, precision, interpret):
         s0 = (st_ref[i, j] * W).astype(jnp.float32)
         offs = jax.lax.broadcasted_iota(
             jnp.int32, (DT, NB * W), 1).astype(jnp.float32) + s0
-        w = profile(pos_ref[0, 0, :][:, None] - offs)      # (DT, 384)
-        win = jnp.concatenate([sA[0], sB[0], sC[0]], axis=0)
-        o_ref[0] = jnp.dot(w, win, preferred_element_type=jnp.float32,
-                           precision=prec)
+        win = jnp.concatenate([sA[...], sB[...], sC[...]],
+                              axis=1)  # (RG, 384, C)
+        if precision == "high":
+            win_hi = win.astype(jnp.bfloat16)
+            win_lo = (win - win_hi.astype(jnp.float32)).astype(
+                jnp.bfloat16)
+
+            def bf16_dot(a, b):
+                return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+            for k in range(RG):
+                w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
+                w_hi = w.astype(jnp.bfloat16)
+                w_lo = (w - w_hi.astype(jnp.float32)).astype(
+                    jnp.bfloat16)
+                o_ref[k] = (bf16_dot(w_hi, win_hi[k])
+                            + bf16_dot(w_hi, win_lo[k])
+                            + bf16_dot(w_lo, win_hi[k]))
+        else:
+            for k in range(RG):
+                w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
+                o_ref[k] = _dot_f32(w, win[k], precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n, d_pad // DT),
+        grid=(n_pad // RG, d_pad // DT),
         in_specs=[
-            pl.BlockSpec((1, 1, DT), lambda i, j, st: (i, 0, j)),
-            pl.BlockSpec((1, W, c), lambda i, j, st: (i, st[i, j], 0)),
-            pl.BlockSpec((1, W, c),
+            pl.BlockSpec((RG, DT), lambda i, j, st: (i, j)),
+            pl.BlockSpec((RG, W, c), lambda i, j, st: (i, st[i, j], 0)),
+            pl.BlockSpec((RG, W, c),
                          lambda i, j, st: (i, st[i, j] + 1, 0)),
-            pl.BlockSpec((1, W, c),
+            pl.BlockSpec((RG, W, c),
                          lambda i, j, st: (i, st[i, j] + 2, 0)),
         ],
-        out_specs=pl.BlockSpec((1, DT, c), lambda i, j, st: (i, j, 0)),
+        out_specs=pl.BlockSpec((RG, DT, c), lambda i, j, st: (i, j, 0)),
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, d_pad, c), jnp.float32),
-        interpret=interpret)(starts, pos3, src, src, src)
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad, c), jnp.float32),
+        compiler_params=_banded_compiler_params(),
+        interpret=interpret)(starts, pos, src, src, src)
 
 
 def _banded_pass2(h, pos_t, method, precision, interpret):
     """Vertical pass consuming pass 1's NATURAL layout (no transpose):
     h (S, M, C) with S the contraction (scanline) axis, pos_t (M, D) the
     per-column fractional scanline positions -> out (D_pad, M_pad, C).
-    Columns are processed 8 per block (one shared window per 8-column x
-    128-row tile)."""
+    Columns are processed ``_banded_group()`` per block (one shared
+    window per group x 128-row tile)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     s, m, c = h.shape
     d = pos_t.shape[1]
     W, NB, DT = _BANDED_WBLK, _BANDED_NBLK, _BANDED_DTILE
+    G = _banded_group()
     s_pad = _round_up(max(s, NB * W), W)
     d_pad = _round_up(d, DT)
-    m_pad = _round_up(m, 8)
+    m_pad = _round_up(m, G)
     if s_pad != s or m_pad != m:
         h = jnp.pad(h, ((0, s_pad - s), (0, m_pad - m), (0, 0)))
     # pos_t may carry fewer columns than h's (already padded) M axis
@@ -392,11 +458,10 @@ def _banded_pass2(h, pos_t, method, precision, interpret):
                     (0, d_pad - pos_t.shape[1])),
             constant_values=1e6)
     starts = jnp.clip(
-        jnp.floor((pos_t.reshape(m_pad // 8, 8, d_pad // DT, DT)
+        jnp.floor((pos_t.reshape(m_pad // G, G, d_pad // DT, DT)
                    .min((1, 3)) - 2.5) / W),
         0, s_pad // W - NB).astype(jnp.int32)
     profile = _banded_profile(method)
-    prec = _BANDED_PRECISIONS[precision]
 
     def kernel(st_ref, pos_ref, hA, hB, hC, o_ref):
         j = pl.program_id(0)
@@ -405,29 +470,48 @@ def _banded_pass2(h, pos_t, method, precision, interpret):
         offs = jax.lax.broadcasted_iota(
             jnp.int32, (DT, NB * W), 1).astype(jnp.float32) + s0
         win = jnp.concatenate([hA[...], hB[...], hC[...]],
-                              axis=0)  # (384, 8, C)
-        for k in range(8):
-            w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
-            o_ref[:, k, :] = jnp.dot(
-                w, win[:, k, :], preferred_element_type=jnp.float32,
-                precision=prec)
+                              axis=0)  # (384, G, C)
+        if precision == "high":
+            # hoist the bf16x3 operand split out of the k-loop (one
+            # split of the window instead of G per-slice splits)
+            win_hi = win.astype(jnp.bfloat16)
+            win_lo = (win - win_hi.astype(jnp.float32)).astype(
+                jnp.bfloat16)
+
+            def bf16_dot(a, b):
+                return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.DEFAULT)
+
+            for k in range(G):
+                w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
+                w_hi = w.astype(jnp.bfloat16)
+                w_lo = (w - w_hi.astype(jnp.float32)).astype(
+                    jnp.bfloat16)
+                o_ref[:, k, :] = (bf16_dot(w_hi, win_hi[:, k, :])
+                                  + bf16_dot(w_hi, win_lo[:, k, :])
+                                  + bf16_dot(w_lo, win_hi[:, k, :]))
+        else:
+            for k in range(G):
+                w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
+                o_ref[:, k, :] = _dot_f32(w, win[:, k, :], precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(m_pad // 8, d_pad // DT),
+        grid=(m_pad // G, d_pad // DT),
         in_specs=[
-            pl.BlockSpec((8, DT), lambda j, i, st: (j, i)),
-            pl.BlockSpec((W, 8, c), lambda j, i, st: (st[j, i], j, 0)),
-            pl.BlockSpec((W, 8, c),
+            pl.BlockSpec((G, DT), lambda j, i, st: (j, i)),
+            pl.BlockSpec((W, G, c), lambda j, i, st: (st[j, i], j, 0)),
+            pl.BlockSpec((W, G, c),
                          lambda j, i, st: (st[j, i] + 1, j, 0)),
-            pl.BlockSpec((W, 8, c),
+            pl.BlockSpec((W, G, c),
                          lambda j, i, st: (st[j, i] + 2, j, 0)),
         ],
-        out_specs=pl.BlockSpec((DT, 8, c), lambda j, i, st: (i, j, 0)),
+        out_specs=pl.BlockSpec((DT, G, c), lambda j, i, st: (i, j, 0)),
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d_pad, m_pad, c), jnp.float32),
+        compiler_params=_banded_compiler_params(),
         interpret=interpret)(starts, pos_t, h, h, h)
 
 
@@ -448,6 +532,14 @@ def pallas_banded_two_pass(src_ext, rows, cstar, method: str = "cubic",
     """
     if interpret is None:
         interpret = _on_cpu()
+    if precision == "high":
+        # free exactness: these kernels are DMA-bound at granule scale
+        # (measured v5e full scale: 3-pass bf16 0.131 s vs full f32
+        # 0.132 s), so the bf16x3 approximation buys nothing here —
+        # run bit-exact. The real 3-pass stays available for the dense
+        # scanline kernel (pallas_scanline_resample), which IS MXU-pass
+        # bound.
+        precision = "highest"
     h = _banded_pass1(src_ext, cstar, method, precision, interpret)
     hd, wd = rows.shape
     out = _banded_pass2(h, jnp.transpose(rows), method, precision,

@@ -114,6 +114,57 @@ def test_banded_two_pass_matches_dense(rng):
         np.testing.assert_array_equal(a == -9999.0, g == -9999.0)
 
 
+def test_banded_high_upgrades_to_exact(rng):
+    """The banded kernels are DMA-bound (measured), so precision='high'
+    upgrades to the bit-exact full-f32 path — outputs identical to
+    'highest'."""
+    import jax.numpy as jnp
+    from hyperres.kernels.pallas_ops import (
+        banded_spans_ok, pallas_banded_two_pass,
+    )
+    from hyperres.kernels.warp import scanline_cstar
+
+    ho, wo, c = 170, 180, 9
+    hd, wd = 160, 175
+    src = rng.random((ho, wo, c)).astype(np.float32)
+    r = np.arange(hd, dtype=np.float32)[:, None]
+    j = np.arange(wd, dtype=np.float32)[None, :]
+    rows = (r * (ho / hd) + 0.004 * j * r / hd + 0.3).astype(np.float32)
+    cols = (j * (wo / wd) + 0.003 * r - 0.2).astype(np.float32)
+    cstar = np.asarray(scanline_cstar(rows, cols, ho))
+    assert banded_spans_ok(cstar) and banded_spans_ok(rows.T)
+    exact = np.asarray(pallas_banded_two_pass(
+        jnp.asarray(src), jnp.asarray(rows), jnp.asarray(cstar),
+        method="cubic", precision="highest"))
+    high = np.asarray(pallas_banded_two_pass(
+        jnp.asarray(src), jnp.asarray(rows), jnp.asarray(cstar),
+        method="cubic", precision="high"))
+    np.testing.assert_array_equal(high, exact)
+
+
+def test_scanline_high_precision_3pass(rng):
+    """precision='high' in the dense scanline kernel is the explicit
+    bf16x3 split (Mosaic exposes no native HIGH): stays within the XLA
+    HIGH error envelope of the full-f32 result but is a genuinely
+    different code path."""
+    import jax.numpy as jnp
+    from hyperres.kernels.pallas_ops import pallas_scanline_resample
+
+    n, s, c, d = 12, 160, 9, 144
+    src = rng.random((n, s, c)).astype(np.float32)
+    pos = (np.linspace(2.0, s - 3.0, d, dtype=np.float32)[None, :]
+           + rng.random((n, 1)).astype(np.float32))
+    exact = np.asarray(pallas_scanline_resample(
+        jnp.asarray(src), jnp.asarray(pos), method="cubic",
+        precision="highest"))
+    high = np.asarray(pallas_scanline_resample(
+        jnp.asarray(src), jnp.asarray(pos), method="cubic",
+        precision="high"))
+    # single pass, values O(1): the bf16x3 error bound is ~2^-16 rel
+    np.testing.assert_allclose(high, exact, rtol=0, atol=5e-5)
+    assert np.max(np.abs(high - exact)) > 0.0
+
+
 def test_banded_spans_ok_rejects_wide_tiles():
     from hyperres.kernels.pallas_ops import banded_spans_ok
     pos = np.linspace(0.0, 4000.0, 256, dtype=np.float32)[None, :]
