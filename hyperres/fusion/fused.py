@@ -101,6 +101,7 @@ class WarpStatics:
     resampling: str      # "cubic" | "bilinear"
     row_chunks: int
     backend: str = "auto"  # two-pass einsum backend: "auto"/"xla"/"pallas"
+    banded_group: Optional[int] = None  # pallas_banded window-sharing group
 
 
 def _affine_fit_weighted(X: jax.Array, Y: jax.Array,
@@ -247,7 +248,7 @@ def _orthofusion_program(st: FusionStatics, warp: WarpStatics, raw_hwb,
         utm_cube = orthowarp_two_pass(
             raw_hwb, flat_idx, valid, wr, wc, cstar,
             method=warp.resampling, fill=NO_DATA_VALUE,
-            backend=warp.backend)
+            backend=warp.backend, banded_group=warp.banded_group)
     else:
         utm_cube = orthowarp_taploop(
             raw_hwb, flat_idx, valid, wr, wc, method=warp.resampling,
@@ -457,17 +458,20 @@ class FusedOrthoFusionPlan:
                     if warp_kernel in ("two_pass", "pallas_banded",
                                        "auto")
                     else None)
+        banded_group = None
         if warp_kernel == "auto":
-            from ..kernels.pallas_ops import banded_spans_ok
+            from ..kernels.pallas_ops import select_banded_group
             warp_kernel = "two_pass"
-            if (jax.default_backend() == "tpu"
-                    and banded_spans_ok(np.asarray(cstar_np))
-                    and banded_spans_ok(np.asarray(wr).T)):
-                backend = "pallas_banded"
+            if jax.default_backend() == "tpu":
+                banded_group = select_banded_group(np.asarray(cstar_np),
+                                                   np.asarray(wr).T)
+                if banded_group is not None:
+                    backend = "pallas_banded"
         elif warp_kernel == "pallas_banded":
-            from ..kernels.pallas_ops import banded_spans_ok
-            if not (banded_spans_ok(np.asarray(cstar_np))
-                    and banded_spans_ok(np.asarray(wr).T)):
+            from ..kernels.pallas_ops import select_banded_group
+            banded_group = select_banded_group(np.asarray(cstar_np),
+                                               np.asarray(wr).T)
+            if banded_group is None:
                 raise ValueError(
                     "banded Pallas warp infeasible for this geometry "
                     "(a destination tile's source span exceeds the "
@@ -475,7 +479,8 @@ class FusedOrthoFusionPlan:
             warp_kernel, backend = "two_pass", "pallas_banded"
         self.warp_statics = WarpStatics(
             warp_kernel=warp_kernel, resampling=resampling,
-            row_chunks=orthowarp_row_chunks, backend=backend)
+            row_chunks=orthowarp_row_chunks, backend=backend,
+            banded_group=banded_group)
         self._cstar = (jnp.asarray(cstar_np) if cstar_np is not None
                        else jnp.zeros((1, 1), jnp.float32))
         self._fusion = FusedFusionPlan(

@@ -283,15 +283,38 @@ _BANDED_DTILE = 128    # destination columns/rows per block
 
 
 def _banded_group() -> int:
-    """Rows (pass 1) / columns (pass 2) sharing one scalar-prefetched
-    source window per grid step. Larger groups mean fewer, bigger grid
-    steps (the kernels are per-step-overhead bound at granule scale,
-    measured) at the cost of a wider position span per window; the
-    feasibility check (:func:`banded_spans_ok`) uses the same value.
-    Env-tunable for experiments: HYPERRES_BANDED_GROUP."""
+    """Default rows (pass 1) / columns (pass 2) sharing one
+    scalar-prefetched source window per grid step, when the caller does
+    not select one (see :func:`select_banded_group`). Larger groups
+    mean fewer, bigger grid steps at the cost of a wider position span
+    per window; the feasibility check (:func:`banded_spans_ok`) must use
+    the same value. Env-tunable for experiments:
+    HYPERRES_BANDED_GROUP."""
     import os
 
     return max(1, int(os.environ.get("HYPERRES_BANDED_GROUP", "8")))
+
+
+#: candidate window-sharing group sizes, largest (fastest, measured
+#: 93 ms vs 101 ms full-granule warp for 32 vs 8 on v5e) first. 64
+#: exceeds the 64 MB scoped-VMEM limit.
+BANDED_GROUP_CANDIDATES = (32, 16, 8, 4)
+
+
+def select_banded_group(cstar: np.ndarray, rows_t: np.ndarray,
+                        candidates=BANDED_GROUP_CANDIDATES):
+    """HOST-side choice of the largest feasible window-sharing group
+    for :func:`pallas_banded_two_pass`: both passes' position fields
+    must satisfy :func:`banded_spans_ok` at the group. Returns None
+    when no candidate fits (strong down/upsampling or sharply curved
+    scanlines) — callers then use the dense two-pass path. ``cstar`` is
+    the pass-1 (N, D) position field, ``rows_t`` the pass-2 (M, D)
+    transposed row field."""
+    for g in candidates:
+        if banded_spans_ok(cstar, group=g) and banded_spans_ok(rows_t,
+                                                               group=g):
+            return int(g)
+    return None
 
 
 def _banded_compiler_params():
@@ -353,7 +376,7 @@ def banded_spans_ok(pos: np.ndarray, group: Optional[int] = None) -> bool:
     return bool(np.nanmax(np.nan_to_num(span)) <= 251.0)
 
 
-def _banded_pass1(src, pos, method, precision, interpret):
+def _banded_pass1(src, pos, method, precision, interpret, group=None):
     """Horizontal pass: out[n, d, c] = sum_s k(pos[n, d] - s) src[n, s, c]
     contracting only a 384-sample window per (8 scanlines x 128 columns)
     block — 8 rows share one scalar-prefetched window, which cuts the
@@ -368,7 +391,7 @@ def _banded_pass1(src, pos, method, precision, interpret):
     n, s, c = src.shape
     d = pos.shape[1]
     W, NB, DT = _BANDED_WBLK, _BANDED_NBLK, _BANDED_DTILE
-    RG = _banded_group()
+    RG = int(group) if group else _banded_group()
     s_pad = _round_up(max(s, NB * W), W)
     d_pad = _round_up(d, DT)
     n_pad = _round_up(n, RG)
@@ -433,7 +456,7 @@ def _banded_pass1(src, pos, method, precision, interpret):
         interpret=interpret)(starts, pos, src, src, src)
 
 
-def _banded_pass2(h, pos_t, method, precision, interpret):
+def _banded_pass2(h, pos_t, method, precision, interpret, group=None):
     """Vertical pass consuming pass 1's NATURAL layout (no transpose):
     h (S, M, C) with S the contraction (scanline) axis, pos_t (M, D) the
     per-column fractional scanline positions -> out (D_pad, M_pad, C).
@@ -445,7 +468,7 @@ def _banded_pass2(h, pos_t, method, precision, interpret):
     s, m, c = h.shape
     d = pos_t.shape[1]
     W, NB, DT = _BANDED_WBLK, _BANDED_NBLK, _BANDED_DTILE
-    G = _banded_group()
+    G = int(group) if group else _banded_group()
     s_pad = _round_up(max(s, NB * W), W)
     d_pad = _round_up(d, DT)
     m_pad = _round_up(m, G)
@@ -517,7 +540,8 @@ def _banded_pass2(h, pos_t, method, precision, interpret):
 
 def pallas_banded_two_pass(src_ext, rows, cstar, method: str = "cubic",
                            precision: str = "highest",
-                           interpret: Optional[bool] = None):
+                           interpret: Optional[bool] = None,
+                           group: Optional[int] = None):
     """Both scanline-warp passes as banded Pallas kernels: identical
     sampling positions to ``_two_pass_core`` but each destination tile
     contracts a 384-sample source window instead of the full axis
@@ -525,10 +549,10 @@ def pallas_banded_two_pass(src_ext, rows, cstar, method: str = "cubic",
     pass 1's natural layout so no multi-GB transposes materialise.
 
     Callers must verify feasibility on the host with
-    :func:`banded_spans_ok` (cstar rows AND rows-transposed columns) —
-    tiles whose positions span more than the window produce nodata, not
-    garbage (their taps get zero weight and the validity channel
-    renormalisation marks them invalid).
+    :func:`banded_spans_ok` at the SAME ``group`` (or pick one with
+    :func:`select_banded_group`) — tiles whose positions span more than
+    the window produce nodata, not garbage (their taps get zero weight
+    and the validity channel renormalisation marks them invalid).
     """
     if interpret is None:
         interpret = _on_cpu()
@@ -540,8 +564,146 @@ def pallas_banded_two_pass(src_ext, rows, cstar, method: str = "cubic",
         # scanline kernel (pallas_scanline_resample), which IS MXU-pass
         # bound.
         precision = "highest"
-    h = _banded_pass1(src_ext, cstar, method, precision, interpret)
+    h = _banded_pass1(src_ext, cstar, method, precision, interpret,
+                      group=group)
     hd, wd = rows.shape
     out = _banded_pass2(h, jnp.transpose(rows), method, precision,
-                        interpret)
+                        interpret, group=group)
     return out[:hd, :wd]
+
+
+# ---------------------------------------------------------------------------
+# VMEM-resident Sinkhorn
+# ---------------------------------------------------------------------------
+#
+# The XLA log-domain Sinkhorn (kernels.sinkhorn.sinkhorn_log)
+# nominally reads the (n, m) cost matrix from HBM twice per iteration.
+# This kernel instead runs ALL iterations inside ONE Pallas program
+# with the cost matrix resident in VMEM (5120^2 f32 = 105 MB on a
+# 128 MB v5e), fusing the f- and g-updates into a single sweep (the
+# column sum reuses the row pass's exponentials). Measured outcome at
+# the production 5000^2 x 300-iteration shape on v5e: XLA fuses its
+# two passes to ~one HBM read per iteration and both paths sit at the
+# same elementwise exp+reduce compute wall (~133 vs ~156 us/iter), so
+# the kernel is NOT the default — it exists for HBM-contended
+# configurations and as the measured speed-of-light reference.
+
+#: largest resident cost matrix (bytes); 5120^2 f32 + block temporaries
+#: just fits v5e's 128 MB VMEM
+PALLAS_SINKHORN_VMEM_BUDGET = 5120 * 5120 * 4
+
+
+def pallas_sinkhorn_duals(log_a: jax.Array, log_b: jax.Array,
+                          Mr: jax.Array, num_itermax: int = 300,
+                          stop_thr: float = 1e-6, check_every: int = 10,
+                          block_rows: int = 128,
+                          interpret: Optional[bool] = None):
+    """Log-domain Sinkhorn duals with the cost matrix VMEM-resident.
+
+    ``Mr`` is the regularised negative cost (-M / reg), ``log_a`` /
+    ``log_b`` the log marginals (pad-safe: -1e30 for zero-mass slots).
+    Returns ``(f, g, err)`` with ``P = exp(Mr + f[:, None] + g[None, :])``
+    — the same update sequence as :func:`~hyperres.kernels.sinkhorn.
+    sinkhorn_log` (f <- log_a - lse_row(Mr + g); g <- log_b -
+    lse_col(Mr + f)), so the duals match the XLA path to f32 roundoff
+    at equal iteration counts.
+
+    Stopping: every ``check_every`` iterations the ROW-marginal
+    violation ||sum_j P_ij - a||_1 of the previous iterate (available
+    as a zero-cost byproduct of the fused sweep) is tested against
+    ``stop_thr`` — the faithful POT criterion (the marginal NOT fixed
+    by the most recent update; POT sinkhorn_knopp checks its analogue
+    after the final scaling update).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = _on_cpu()
+    n, m = Mr.shape
+    RB = block_rows
+    n_pad = _round_up(n, RB)
+    m_pad = _round_up(m, 128)
+    NEG = -1e30
+    if (n_pad, m_pad) != (n, m):
+        Mr = jnp.pad(Mr, ((0, n_pad - n), (0, m_pad - m)),
+                     constant_values=NEG)
+        log_a = jnp.pad(log_a, (0, n_pad - n), constant_values=NEG)
+        log_b = jnp.pad(log_b, (0, m_pad - m), constant_values=NEG)
+    nb = n_pad // RB
+    la = log_a.astype(jnp.float32)[:, None]          # (n_pad, 1)
+    lb = log_b.astype(jnp.float32)[None, :]          # (1, m_pad)
+
+    def kernel(mr_ref, la_ref, lb_ref, f_ref, g_ref, err_ref):
+        f_ref[...] = jnp.zeros_like(f_ref[...])
+        g_ref[...] = jnp.zeros_like(g_ref[...])
+
+        def sweep(_):
+            """One Sinkhorn iteration; returns the row-marginal err of
+            the PREVIOUS iterate (computed before f is overwritten).
+
+            The column sum reuses the row pass's exponentials instead
+            of a second stabilised exp sweep:
+            exp(Mr_ij + f_i) = E_ij * u_i * exp(-g_j) with
+            E = exp(Mr + g - rmax) (in registers from the row pass) and
+            u_i = a_i / rowsum_i <= a_i, so
+            lse_col = log(sum_i E_ij u_i) - g_j. E's elementwise
+            underflow drops the same far pairs a max-stabilised pass
+            would round to zero; a whole column of underflows (every
+            sample further than ~sqrt(87*reg) in normalised RGB from
+            ALL rows — geometrically impossible for stretched
+            reflectances) is clamped by the 1e-38 floor."""
+            def row_block(rb, carry):
+                s_col, errs = carry                  # (1, m_pad), f32
+                blk = mr_ref[pl.ds(rb * RB, RB), :]  # (RB, m_pad)
+                z = blk + g_ref[...]                 # + g broadcast row
+                rmax = jnp.max(z, axis=1, keepdims=True)
+                E = jnp.exp(z - rmax)                # (RB, m_pad)
+                rowsum = jnp.sum(E, axis=1, keepdims=True)
+                rlse = rmax + jnp.log(rowsum)
+                a_blk = jnp.exp(la_ref[pl.ds(rb * RB, RB), :])
+                f_old = f_ref[pl.ds(rb * RB, RB), :]
+                errs = errs + jnp.sum(jnp.abs(jnp.exp(f_old + rlse)
+                                              - a_blk))
+                f_ref[pl.ds(rb * RB, RB), :] = (
+                    la_ref[pl.ds(rb * RB, RB), :] - rlse)
+                u = a_blk / rowsum                   # (RB, 1)
+                s_col = s_col + jnp.sum(E * u, axis=0, keepdims=True)
+                return s_col, errs
+
+            s_col, errs = jax.lax.fori_loop(
+                0, nb, row_block,
+                (jnp.zeros((1, m_pad), jnp.float32), jnp.float32(0.0)))
+            # lse_col(Mr + f) = log(s_col) - g. Floor must be a NORMAL
+            # f32 (1e-38 is subnormal and XLA flushes it to zero ->
+            # log(0) = -inf on fully-underflowed padded columns).
+            g_ref[...] = (lb_ref[...]
+                          - jnp.log(jnp.maximum(s_col, 1e-37))
+                          + g_ref[...])
+            return errs
+
+        def cond(carry):
+            it, err = carry
+            return (it < num_itermax) & (err > stop_thr)
+
+        def body(carry):
+            it, _ = carry
+            err = jax.lax.fori_loop(0, check_every,
+                                    lambda k, e: sweep(e),
+                                    jnp.float32(jnp.inf))
+            return it + check_every, err
+
+        _, err = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.float32(jnp.inf)))
+        err_ref[...] = jnp.full((1, 1), err, jnp.float32)
+
+    f, g, err = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, m_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(127.5 * 1024 * 1024)),
+        interpret=interpret,
+    )(Mr.astype(jnp.float32), la, lb)
+    return f[:n, 0], g[0, :m], err[0, 0]

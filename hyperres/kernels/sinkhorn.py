@@ -87,19 +87,33 @@ def barycentric_map(P: jax.Array, Y: jax.Array) -> jax.Array:
                    precision=jax.lax.Precision.HIGHEST) / row_sum
 
 
-@partial(jax.jit, static_argnames=("num_itermax",))
+@partial(jax.jit, static_argnames=("num_itermax", "engine"))
 def ot_barycentric_targets(X: jax.Array, Y: jax.Array, reg: float = 0.05,
                            num_itermax: int = 300,
                            stop_thr: float = 1e-6,
                            wx: jax.Array | None = None,
-                           wy: jax.Array | None = None) -> jax.Array:
+                           wy: jax.Array | None = None,
+                           engine: str = "auto") -> jax.Array:
     """End-to-end: Sinkhorn between samples X (n, d) and Y (m, d), then
     barycentric targets for each X row (the shared core of ot_match_rgb /
     fit_ot_poly / fit_ot_affine). ``wx`` / ``wy`` are optional 0/1 slot
     weights from fixed-shape device sampling: zero-weight (padding) rows
     get a vanishing mass (and their values are zeroed so non-finite
     padding cannot poison the cost matrix), keeping the plan equal to the
-    uniform plan over the real samples to f32 accuracy."""
+    uniform plan over the real samples to f32 accuracy.
+
+    ``engine``: "xla" (and "auto") runs :func:`sinkhorn_log`; "pallas"
+    runs every iteration inside one kernel with the cost matrix
+    VMEM-resident (:func:`~hyperres.kernels.pallas_ops.
+    pallas_sinkhorn_duals`, duals equal to f32 roundoff). Measured at
+    the production 5000^2 shape on v5e, XLA is NOT bandwidth-bound
+    as the 2-logsumexp-per-iteration structure suggests — it fuses to
+    ~one HBM pass per iteration (~133 us/iter, the elementwise
+    exp+reduce compute wall) and the VMEM-resident kernel lands at the
+    same wall from the other side (156 us/iter even with the column
+    sum reusing the row pass's exponentials), so "auto" keeps the XLA
+    path; the kernel remains for configurations where HBM is contended
+    (e.g. overlapped ingest)."""
     n, m = X.shape[0], Y.shape[0]
     if wx is None:
         a = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
@@ -114,6 +128,21 @@ def ot_barycentric_targets(X: jax.Array, Y: jax.Array, reg: float = 0.05,
         bw = jnp.maximum(wy.astype(jnp.float32), 1e-12)
         b = bw / jnp.sum(bw)
     M = sqeuclidean_cdist(X, Y)
-    P, _ = sinkhorn_log(a, b, M, reg, num_itermax=num_itermax,
-                        stop_thr=stop_thr)
+    use_pallas = False
+    if engine == "pallas":
+        from .pallas_ops import (
+            PALLAS_SINKHORN_VMEM_BUDGET, _round_up,
+        )
+        use_pallas = (_round_up(n, 128) * _round_up(m, 128) * 4
+                      <= PALLAS_SINKHORN_VMEM_BUDGET)
+    if use_pallas:
+        from .pallas_ops import pallas_sinkhorn_duals
+        Mr = -M / reg
+        f, g, _ = pallas_sinkhorn_duals(jnp.log(a), jnp.log(b), Mr,
+                                        num_itermax=num_itermax,
+                                        stop_thr=stop_thr)
+        P = jnp.exp(Mr + f[:, None] + g[None, :])
+    else:
+        P, _ = sinkhorn_log(a, b, M, reg, num_itermax=num_itermax,
+                            stop_thr=stop_thr)
     return barycentric_map(P, Y)

@@ -746,7 +746,8 @@ def _kernel_profile(dist: jax.Array, method: str) -> jax.Array:
 
 @partial(jax.jit,
          static_argnames=("method", "fill", "block_rows_src",
-                          "block_rows_dst", "precision", "backend"))
+                          "block_rows_dst", "precision", "backend",
+                          "banded_group"))
 def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
                        glt_valid: jax.Array, rows: jax.Array,
                        cols: jax.Array, cstar: jax.Array,
@@ -755,7 +756,8 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
                        block_rows_src: int = 64,
                        block_rows_dst: int = 64,
                        precision: str = "high",
-                       backend: str = "auto") -> jax.Array:
+                       backend: str = "auto",
+                       banded_group: "int | None" = None) -> jax.Array:
     """Two-pass (Catmull-Smith scanline) fused GLT + warp on the MXU.
 
     ``orthowarp_taploop`` is gather-transaction-bound: 16 cubic taps x one
@@ -824,7 +826,8 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
         from .pallas_ops import pallas_banded_two_pass
         out_ext = pallas_banded_two_pass(src_ext, rows, cstar,
                                          method=method,
-                                         precision=precision)
+                                         precision=precision,
+                                         group=banded_group)
     else:
         out_ext = _two_pass_core(src_ext, rows, cstar, method,
                                  block_rows_src, block_rows_dst, prec)

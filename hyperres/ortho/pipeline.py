@@ -96,10 +96,10 @@ def _grid_from_s2_tif(s2_tif_path: Union[str, Path]) -> Grid:
 
 @partial(jax.jit, donate_argnums=0,
          static_argnames=("method", "kernel", "row_chunks", "transfer",
-                          "backend"))
+                          "backend", "banded_group"))
 def _warp_chunk_update(utm, payload, b0, flat_idx, valid, wr, wc, cstar,
                        method, kernel, row_chunks, transfer,
-                       backend="auto"):
+                       backend="auto", banded_group=None):
     """Dequant + orthowarp one band chunk and write it into the UTM
     accumulator — the fold step of the compute-overlapped ingest (each
     chunk's warp runs while the next chunk is read/quantized/shipped;
@@ -112,7 +112,8 @@ def _warp_chunk_update(utm, payload, b0, flat_idx, valid, wr, wc, cstar,
     if kernel == "two_pass":
         w = orthowarp_two_pass(chunk, flat_idx, valid, wr, wc, cstar,
                                method=method, fill=NO_DATA_VALUE,
-                               backend=backend)
+                               backend=backend,
+                               banded_group=banded_group)
     else:
         w = orthowarp_taploop(chunk, flat_idx, valid, wr, wc,
                               method=method, fill=NO_DATA_VALUE,
@@ -123,10 +124,11 @@ def _warp_chunk_update(utm, payload, b0, flat_idx, valid, wr, wc, cstar,
 
 @partial(jax.jit, donate_argnums=0,
          static_argnames=("method", "kernel", "row_chunks", "transfer",
-                          "backend"))
+                          "backend", "banded_group"))
 def _warp_chunk_update_bandmask(utm, payload, b0, flat_idx, valid, wr, wc,
                                 cstar, method, kernel, row_chunks,
-                                transfer, backend="auto"):
+                                transfer, backend="auto",
+                                banded_group=None):
     """Band-masked fold step: the dequantized chunk is [data * vb | vb]
     (2 nb channels, vb the per-band 0/1 validity from the L2A band
     mask). Both halves ride the SAME warp, so dividing the warped
@@ -140,7 +142,8 @@ def _warp_chunk_update_bandmask(utm, payload, b0, flat_idx, valid, wr, wc,
     if kernel == "two_pass":
         w = orthowarp_two_pass(chunk2, flat_idx, valid, wr, wc, cstar,
                                method=method, fill=NO_DATA_VALUE,
-                               backend=backend)
+                               backend=backend,
+                               banded_group=banded_group)
     else:
         w = orthowarp_taploop(chunk2, flat_idx, valid, wr, wc,
                               method=method, fill=NO_DATA_VALUE,
@@ -327,14 +330,16 @@ def orthorectify_granule(
                 if use_two_pass else None)
     cstar_j = jnp.asarray(cstar_np) if cstar_np is not None else None
     warp_backend = cfg.warp_backend
-    if warp_backend == "auto" and use_two_pass:
-        # upgrade to the banded block-sparse Pallas kernels on TPU when
-        # the geometry fits their windows (bit-level parity, measured
-        # ~26% faster full pipeline round 3)
-        from ..kernels.pallas_ops import banded_spans_ok
-        if (jax.default_backend() == "tpu"
-                and banded_spans_ok(np.asarray(cstar_np))
-                and banded_spans_ok(np.asarray(wr_field).T)):
+    banded_group = None
+    if use_two_pass and warp_backend in ("auto", "pallas_banded"):
+        # pick the largest feasible window-sharing group (32 beats 8 by
+        # ~7% at granule scale; curvier geometries degrade to smaller
+        # groups instead of losing the banded path)
+        from ..kernels.pallas_ops import select_banded_group
+        if warp_backend == "pallas_banded" or jax.default_backend() == "tpu":
+            banded_group = select_banded_group(np.asarray(cstar_np),
+                                               np.asarray(wr_field).T)
+        if warp_backend == "auto" and banded_group is not None:
             warp_backend = "pallas_banded"
     if warp_backend == "pallas_banded" and not use_two_pass:
         warp_backend = "auto"
@@ -358,7 +363,8 @@ def orthorectify_granule(
             utm_dev = orthowarp_two_pass(
                 jnp.asarray(cube_raw, jnp.float32), flat_j, va,
                 wr_j, wc_j, cstar_j, method=cfg.resampling,
-                fill=NO_DATA_VALUE, backend=warp_backend)
+                fill=NO_DATA_VALUE, backend=warp_backend,
+                banded_group=banded_group)
             timer.record(f"{kind}_two_pass_orthowarp", t,
                          shape=list(utm_dev.shape),
                          resampling=cfg.resampling)
@@ -487,7 +493,7 @@ def orthorectify_granule(
                     utm, payload, b0, flat_j, data_valid_j, wr_j, wc_j,
                     cstar_arg, cfg.resampling, kernel,
                     cfg.orthowarp_row_chunks, cfg.ingest_transfer,
-                    warp_backend)
+                    warp_backend, banded_group)
 
             utm_pre = stream_cube_fold(
                 read2, (g.raw_height, g.raw_width, n_chunks * 2 * cb),
@@ -525,7 +531,7 @@ def orthorectify_granule(
                     utm, payload, b0, flat_j, data_valid_j, wr_j, wc_j,
                     cstar_arg, cfg.resampling, kernel,
                     cfg.orthowarp_row_chunks, cfg.ingest_transfer,
-                    warp_backend)
+                    warp_backend, banded_group)
 
             utm_pre = stream_cube_fold(
                 read_bands, (g.raw_height, g.raw_width, g.n_bands),

@@ -149,15 +149,63 @@ def test_masked_percentile_matches_numpy(rng):
 
 
 def test_shared_percentile_stretch_matches_reference(rng):
-    """Oracle: color.py:25-34 formula."""
+    """Oracle: color.py:25-34 formula (method='sort' is the exact
+    np.percentile-interpolation path)."""
     img = rng.normal(size=(30, 40, 3)).astype(np.float32)
     mask = rng.random((30, 40)) > 0.3
     got = np.asarray(kstats.shared_percentile_stretch(
-        jnp.asarray(img), jnp.asarray(mask)))
+        jnp.asarray(img), jnp.asarray(mask), method="sort"))
     for c in range(3):
         lo, hi = np.percentile(img[..., c][mask], [2, 98])
         want = np.clip((img[..., c] - lo) / (hi - lo + 1e-12), 0, 1)
         np.testing.assert_allclose(got[..., c], want, rtol=0, atol=1e-5)
+
+
+def test_shared_percentile_stretch_bracket_default(rng):
+    """The default (bracket) stretch agrees with the exact sort path to
+    within the order-statistic spacing at the percentile points — the
+    estimator's documented bias bound."""
+    img = rng.normal(size=(400, 500, 3)).astype(np.float32)
+    mask = rng.random((400, 500)) > 0.3
+    exact = np.asarray(kstats.shared_percentile_stretch(
+        jnp.asarray(img), jnp.asarray(mask), method="sort"))
+    fast = np.asarray(kstats.shared_percentile_stretch(
+        jnp.asarray(img), jnp.asarray(mask)))
+    for c in range(3):
+        v = np.sort(img[..., c][mask])
+        n = v.size
+        gap = max(np.diff(v[int(0.02 * n) - 3: int(0.02 * n) + 3]).max(),
+                  np.diff(v[int(0.98 * n) - 3: int(0.98 * n) + 3]).max())
+        # a gap-sized shift of lo/hi moves the normalized image by
+        # ~gap / (hi - lo); allow 3 gaps of slack
+        lo, hi = np.percentile(img[..., c][mask], [2, 98])
+        np.testing.assert_allclose(fast[..., c], exact[..., c], rtol=0,
+                                   atol=3.0 * gap / (hi - lo))
+
+
+def test_bracket_percentile_accuracy(rng):
+    """bracket_percentile lands within ~1 order-statistic gap of
+    np.percentile (its bias bound) on 200k samples, incl. heavily
+    tied u16-quantized data where it must converge onto the tied
+    value exactly."""
+    x = rng.normal(size=(200_000,)).astype(np.float32)
+    mask = rng.random((200_000,)) > 0.2
+    qs = np.asarray([2.0, 50.0, 98.0])
+    got = np.asarray(kstats.bracket_percentile(
+        jnp.asarray(x), jnp.asarray(mask), jnp.asarray(qs)))
+    v = np.sort(x[mask])
+    want = np.percentile(x[mask], qs)
+    for q, g, w in zip(qs, got, want):
+        i = int(q / 100 * (v.size - 1))
+        gap = np.diff(v[max(i - 3, 0): i + 3]).max()
+        assert abs(g - w) <= 2.0 * gap + 1e-6, (q, g, w, gap)
+    # tied/quantized data: percentiles ARE grid values
+    xq = np.round(x * 50.0) / 50.0
+    gotq = np.asarray(kstats.bracket_percentile(
+        jnp.asarray(xq.astype(np.float32)), jnp.asarray(mask),
+        jnp.asarray(qs)))
+    wantq = np.percentile(xq[mask], qs)
+    np.testing.assert_allclose(gotq, wantq, rtol=0, atol=1e-4)
 
 
 def test_strided_band_minmax(rng):

@@ -52,6 +52,74 @@ def test_sinkhorn_matches_linear_domain_oracle(rng):
     np.testing.assert_allclose(P, P_oracle, rtol=0, atol=2e-6)
 
 
+def test_pallas_sinkhorn_matches_xla_duals(rng):
+    """The VMEM-resident single-program Sinkhorn produces the same plan
+    as sinkhorn_log to f32 roundoff at equal iteration counts, incl.
+    padded shapes and weighted (zero-mass slot) marginals."""
+    from hyperres.kernels.pallas_ops import pallas_sinkhorn_duals
+
+    n, m = 150, 170  # pads to (256, 256): exercises the sentinel rows
+    X = rng.normal(0.45, 0.2, (n, 3)).astype(np.float32)
+    Y = rng.normal(0.55, 0.18, (m, 3)).astype(np.float32)
+    a = np.full(n, 1.0 / n, np.float32)
+    b = np.full(m, 1.0 / m, np.float32)
+    M = kot.sqeuclidean_cdist(jnp.asarray(X), jnp.asarray(Y))
+    P_ref, _ = kot.sinkhorn_log(jnp.asarray(a), jnp.asarray(b), M, 0.05,
+                                num_itermax=60, stop_thr=0.0)
+    f, g, err = pallas_sinkhorn_duals(jnp.log(jnp.asarray(a)),
+                                      jnp.log(jnp.asarray(b)),
+                                      -M / 0.05, num_itermax=60,
+                                      stop_thr=0.0)
+    P = np.exp(np.asarray(-M / 0.05) + np.asarray(f)[:, None]
+               + np.asarray(g)[None, :])
+    np.testing.assert_allclose(P, np.asarray(P_ref), rtol=0, atol=1e-7)
+    assert np.isfinite(float(err))
+    # weighted marginals with vanishing-mass padding slots
+    wa = np.concatenate([np.ones(n - 20), np.full(20, 1e-12)])
+    aw = (wa / wa.sum()).astype(np.float32)
+    P_ref2, _ = kot.sinkhorn_log(jnp.asarray(aw), jnp.asarray(b), M,
+                                 0.05, num_itermax=60, stop_thr=0.0)
+    f2, g2, _ = pallas_sinkhorn_duals(jnp.log(jnp.asarray(aw)),
+                                      jnp.log(jnp.asarray(b)),
+                                      -M / 0.05, num_itermax=60,
+                                      stop_thr=0.0)
+    P2 = np.exp(np.asarray(-M / 0.05) + np.asarray(f2)[:, None]
+                + np.asarray(g2)[None, :])
+    np.testing.assert_allclose(P2, np.asarray(P_ref2), rtol=0, atol=1e-7)
+
+
+def test_pallas_sinkhorn_early_stop(rng):
+    """The in-kernel POT stopping rule fires: with a loose threshold the
+    reported row-marginal violation is below it (and the duals are
+    genuinely converged)."""
+    from hyperres.kernels.pallas_ops import pallas_sinkhorn_duals
+
+    n = 96
+    X = rng.normal(0.5, 0.1, (n, 3)).astype(np.float32)
+    Y = (X + 0.05).astype(np.float32)
+    a = np.full(n, 1.0 / n, np.float32)
+    M = kot.sqeuclidean_cdist(jnp.asarray(X), jnp.asarray(Y))
+    f, g, err = pallas_sinkhorn_duals(jnp.log(jnp.asarray(a)),
+                                      jnp.log(jnp.asarray(a)),
+                                      -M / 0.5, num_itermax=5000,
+                                      stop_thr=1e-4)
+    P = np.exp(np.asarray(-M / 0.5) + np.asarray(f)[:, None]
+               + np.asarray(g)[None, :])
+    assert float(err) <= 1e-4
+    np.testing.assert_allclose(P.sum(1), a, atol=1e-5)
+
+
+def test_ot_barycentric_targets_engines_agree(rng):
+    """engine='pallas' and engine='xla' produce the same targets."""
+    X = rng.normal(0.4, 0.15, (180, 3)).astype(np.float32)
+    Y = rng.normal(0.5, 0.12, (180, 3)).astype(np.float32)
+    t_x = np.asarray(kot.ot_barycentric_targets(
+        jnp.asarray(X), jnp.asarray(Y), reg=0.05, engine="xla"))
+    t_p = np.asarray(kot.ot_barycentric_targets(
+        jnp.asarray(X), jnp.asarray(Y), reg=0.05, engine="pallas"))
+    np.testing.assert_allclose(t_p, t_x, rtol=0, atol=5e-5)
+
+
 def test_barycentric_targets_pull_toward_reference(rng):
     """OT barycentric projection of X onto a shifted cloud Y must move
     points toward Y's distribution."""

@@ -114,6 +114,63 @@ def test_banded_two_pass_matches_dense(rng):
         np.testing.assert_array_equal(a == -9999.0, g == -9999.0)
 
 
+def test_select_banded_group_adaptive(rng):
+    """select_banded_group returns the largest candidate whose grouped
+    span check passes, degrades for curvier fields, and returns None
+    when even the smallest group is infeasible."""
+    from hyperres.kernels.pallas_ops import (
+        BANDED_GROUP_CANDIDATES, banded_spans_ok, select_banded_group,
+    )
+
+    d = 512
+    j = np.arange(d, dtype=np.float32)[None, :]
+
+    def field(slope):
+        r = np.arange(256, dtype=np.float32)[:, None]
+        return (j + slope * r).astype(np.float32)
+
+    near_identity = field(0.0)
+    assert select_banded_group(near_identity, near_identity) == \
+        BANDED_GROUP_CANDIDATES[0]
+    # slope 5: a group of 32 rows spans 31*5=155 extra samples on top of
+    # the 127-wide tile -> >251, infeasible; 16 rows span 75+127 -> ok
+    curved = field(5.0)
+    g = select_banded_group(curved, near_identity)
+    assert g is not None and g < BANDED_GROUP_CANDIDATES[0]
+    assert banded_spans_ok(curved, group=g)
+    # strong downsampling: even per-4-rows tiles span > 251 samples
+    wide = (j * 4.0) + 0.0 * np.arange(8, dtype=np.float32)[:, None]
+    assert select_banded_group(wide, wide) is None
+
+
+def test_banded_groups_agree(rng):
+    """The banded kernels produce identical results for every window-
+    sharing group size (the group only changes scheduling, not taps)."""
+    import jax.numpy as jnp
+    from hyperres.kernels.pallas_ops import (
+        banded_spans_ok, pallas_banded_two_pass,
+    )
+    from hyperres.kernels.warp import scanline_cstar
+
+    ho, wo, c = 150, 160, 5
+    hd, wd = 140, 155
+    src = rng.random((ho, wo, c)).astype(np.float32)
+    r = np.arange(hd, dtype=np.float32)[:, None]
+    j = np.arange(wd, dtype=np.float32)[None, :]
+    rows = (r * (ho / hd) + 0.004 * j * r / hd + 0.3).astype(np.float32)
+    cols = (j * (wo / wd) + 0.003 * r - 0.2).astype(np.float32)
+    cstar = np.asarray(scanline_cstar(rows, cols, ho))
+    outs = []
+    for g in (4, 8, 32):
+        assert banded_spans_ok(cstar, group=g)
+        assert banded_spans_ok(rows.T, group=g)
+        outs.append(np.asarray(pallas_banded_two_pass(
+            jnp.asarray(src), jnp.asarray(rows), jnp.asarray(cstar),
+            method="cubic", precision="highest", group=g)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_banded_high_upgrades_to_exact(rng):
     """The banded kernels are DMA-bound (measured), so precision='high'
     upgrades to the bit-exact full-f32 path — outputs identical to
