@@ -41,11 +41,22 @@ def sample_valid_pixels_device(
     mask: jax.Array,
     n_samples: int,
     key: jax.Array,
+    method: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """Fixed-shape device sampling: returns (sample (n_samples, C),
     weights (n_samples,)) where weights are 0 for slots beyond the number
     of valid pixels. Gumbel-top-k gives a uniform sample without
-    replacement among valid pixels."""
+    replacement among valid pixels.
+
+    ``method``: "exact" uses ``lax.top_k``; "approx" uses TPU's
+    ``lax.approx_max_k`` (hardware bucketed top-k). "auto" picks approx
+    on TPU. Approximate selection keeps the sample EXACTLY uniform: the
+    chosen subset is a function of the iid Gumbel keys alone, so any
+    key-measurable selection rule yields an exchangeable (uniform)
+    subset of the valid pixels — the approximation only means a valid
+    pixel can occasionally be displaced by an invalid (-inf) slot near
+    the tail, which the returned 0-weights already absorb (the same
+    padding contract as n_valid < n_samples)."""
     c = img.shape[-1]
     flat = img.reshape(-1, c)
     # images smaller than the sample budget: take every pixel (the
@@ -54,7 +65,13 @@ def sample_valid_pixels_device(
     valid = (mask.reshape(-1) & jnp.isfinite(flat).all(axis=-1))
     g = jax.random.gumbel(key, (flat.shape[0],))
     score = jnp.where(valid, g, -jnp.inf)
-    _, idx = jax.lax.top_k(score, n_samples)
+    if method == "auto":
+        method = ("approx" if jax.default_backend() == "tpu"
+                  else "exact")
+    if method == "approx":
+        _, idx = jax.lax.approx_max_k(score, n_samples)
+    else:
+        _, idx = jax.lax.top_k(score, n_samples)
     take = jnp.take(flat, idx, axis=0)
     w = jnp.take(valid, idx).astype(jnp.float32)
     n_valid = jnp.sum(valid)

@@ -108,6 +108,32 @@ def test_sample_valid_pixels_device_weights(rng):
         assert (np.abs(valid_vals - row).sum(1) < 1e-6).any()
 
 
+def test_sample_valid_pixels_device_approx(rng):
+    """The approx (TPU bucketed top-k) selection path obeys the same
+    contract: weighted rows are genuine distinct valid pixels, padding
+    slots carry zero weight."""
+    from hyperres.fusion.sampling import sample_valid_pixels_device
+    import jax
+    img = rng.random((40, 40, 3)).astype(np.float32)
+    mask = rng.random((40, 40)) > 0.5
+    take, w = sample_valid_pixels_device(
+        jnp.asarray(img), jnp.asarray(mask), 64, jax.random.PRNGKey(1),
+        method="approx")
+    take = np.asarray(take)
+    w = np.asarray(w)
+    assert take.shape == (64, 3)
+    picked = take[w > 0]
+    assert picked.shape[0] >= 32  # recall >= 0.5 of a 64-sample budget
+    valid_vals = img[mask]
+    seen = set()
+    for row in picked:
+        d = np.abs(valid_vals - row).sum(1)
+        j = int(np.argmin(d))
+        assert d[j] < 1e-6
+        assert j not in seen  # without replacement
+        seen.add(j)
+
+
 def test_make_grid_template(tmp_path, rng):
     from hyperres.io.tiff import TiffReader, write_geotiff
     from hyperres.spectral import make_grid_template_from_raster
