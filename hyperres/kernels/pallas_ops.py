@@ -318,10 +318,11 @@ def select_banded_group(cstar: np.ndarray, rows_t: np.ndarray,
 
 
 def _banded_compiler_params():
-    """The bf16x3 "high" path's split temporaries push the kernels'
-    scoped-VMEM stack past Mosaic's 16 MB default; raise the limit to
-    64 MB (v5e has 128 MB VMEM — block double-buffering needs < 10 MB
-    on top of this)."""
+    """Large window-sharing groups (32 x 384 x C window + concat
+    temporaries) push the kernels' scoped-VMEM stack past Mosaic's
+    16 MB default; raise the limit to 64 MB (v5e has 128 MB VMEM —
+    group 64 would need ~96 MB and is excluded from
+    BANDED_GROUP_CANDIDATES)."""
     from jax.experimental.pallas import tpu as pltpu
 
     return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
@@ -414,27 +415,13 @@ def _banded_pass1(src, pos, method, precision, interpret, group=None):
             jnp.int32, (DT, NB * W), 1).astype(jnp.float32) + s0
         win = jnp.concatenate([sA[...], sB[...], sC[...]],
                               axis=1)  # (RG, 384, C)
-        if precision == "high":
-            win_hi = win.astype(jnp.bfloat16)
-            win_lo = (win - win_hi.astype(jnp.float32)).astype(
-                jnp.bfloat16)
-
-            def bf16_dot(a, b):
-                return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.DEFAULT)
-
-            for k in range(RG):
-                w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
-                w_hi = w.astype(jnp.bfloat16)
-                w_lo = (w - w_hi.astype(jnp.float32)).astype(
-                    jnp.bfloat16)
-                o_ref[k] = (bf16_dot(w_hi, win_hi[k])
-                            + bf16_dot(w_hi, win_lo[k])
-                            + bf16_dot(w_lo, win_hi[k]))
-        else:
-            for k in range(RG):
-                w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
-                o_ref[k] = _dot_f32(w, win[k], precision)
+        # precision here is "highest" or "default" only: the public
+        # entry upgrades "high" to bit-exact f32 (these kernels are
+        # DMA/scheduling-bound, exactness is free — see
+        # pallas_banded_two_pass)
+        for k in range(RG):
+            w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
+            o_ref[k] = _dot_f32(w, win[k], precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -494,29 +481,10 @@ def _banded_pass2(h, pos_t, method, precision, interpret, group=None):
             jnp.int32, (DT, NB * W), 1).astype(jnp.float32) + s0
         win = jnp.concatenate([hA[...], hB[...], hC[...]],
                               axis=0)  # (384, G, C)
-        if precision == "high":
-            # hoist the bf16x3 operand split out of the k-loop (one
-            # split of the window instead of G per-slice splits)
-            win_hi = win.astype(jnp.bfloat16)
-            win_lo = (win - win_hi.astype(jnp.float32)).astype(
-                jnp.bfloat16)
-
-            def bf16_dot(a, b):
-                return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.DEFAULT)
-
-            for k in range(G):
-                w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
-                w_hi = w.astype(jnp.bfloat16)
-                w_lo = (w - w_hi.astype(jnp.float32)).astype(
-                    jnp.bfloat16)
-                o_ref[:, k, :] = (bf16_dot(w_hi, win_hi[:, k, :])
-                                  + bf16_dot(w_hi, win_lo[:, k, :])
-                                  + bf16_dot(w_lo, win_hi[:, k, :]))
-        else:
-            for k in range(G):
-                w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
-                o_ref[:, k, :] = _dot_f32(w, win[:, k, :], precision)
+        # "highest" or "default" only (see pass 1)
+        for k in range(G):
+            w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
+            o_ref[:, k, :] = _dot_f32(w, win[:, k, :], precision)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
