@@ -128,7 +128,8 @@ def bracket_percentile(x: jax.Array, mask: jax.Array, qs: jax.Array,
                 lo + (idx + 1).astype(jnp.float32) / edges * width), None
 
     (lo, hi), _ = jax.lax.scan(refine, (lo0, hi0), None, length=iters)
-    return (lo + hi) / 2.0
+    # empty mask -> NaN, matching masked_percentile's nanpercentile
+    return jnp.where(n > 0, (lo + hi) / 2.0, jnp.nan)
 
 
 @partial(jax.jit, static_argnames=("method",))

@@ -206,6 +206,10 @@ def test_bracket_percentile_accuracy(rng):
         jnp.asarray(qs)))
     wantq = np.percentile(xq[mask], qs)
     np.testing.assert_allclose(gotq, wantq, rtol=0, atol=1e-4)
+    # empty mask -> NaN (matching masked_percentile)
+    empty = np.asarray(kstats.bracket_percentile(
+        jnp.asarray(x), jnp.zeros_like(mask), jnp.asarray(qs)))
+    assert np.isnan(empty).all()
 
 
 def test_strided_band_minmax(rng):
