@@ -207,11 +207,21 @@ class RidgeSpectralSR:
         return jax.lax.fori_loop(0, n // batch, body, out0)
 
     def predict_cube_u16(self, X_bhw, nodata: Optional[float] = None,
-                         batch_pixels: Optional[int] = None) -> np.ndarray:
+                         batch_pixels: Optional[int] = None,
+                         engine: str = "auto") -> np.ndarray:
         """(Bx, H, W) -> (By, H, W) uint16 x10000 (nodata 65535, the
         tiles_helpers quantization convention) computed in ONE device
         program — the granule-scale 10 m product path (Spectral_matching
-        cell 8 at full scale without per-batch host round-trips)."""
+        cell 8 at full scale without per-batch host round-trips).
+
+        ``engine="pallas"`` (the "auto" choice on TPU) runs the fused
+        kernel (:func:`~hyperres.kernels.pallas_ops.
+        pallas_sr_predict_u16`): the monomial expansion becomes one-hot
+        selection matmuls computed in VMEM per tile with the ridge
+        weights resident, so the (N, F) feature matrix never exists in
+        HBM — the XLA path's minor-axis feature gathers were the whole
+        cost of the measured 1.97 s/85 Mpx product. "xla" keeps the
+        batched fori_loop program (the CPU default)."""
         assert self.params is not None, "fit() first"
         batch = batch_pixels or self.cfg.batch_pixels
         b, h, w = X_bhw.shape
@@ -220,11 +230,27 @@ class RidgeSpectralSR:
         if nodata is not None:
             valid &= ~np.isclose(X, nodata).any(axis=1)
         n = h * w
+        # X is a VIEW chain onto the caller's cube when it is already
+        # f32 — nan_to_num must copy or we'd zero the caller's NaNs
+        X = np.nan_to_num(X, copy=True)
+        if engine == "auto":
+            engine = ("pallas" if jax.default_backend() == "tpu"
+                      else "xla")
+        if engine == "pallas":
+            from ..kernels.lstsq import poly_selector_matrices
+            from ..kernels.pallas_ops import pallas_sr_predict_u16
+            sels, f = poly_selector_matrices(
+                self.n_inputs, self.cfg.degree, self.cfg.include_bias)
+            assert f == self.n_features
+            p = self.params
+            q = pallas_sr_predict_u16(
+                jnp.asarray(X), jnp.asarray(valid), p.x_mean, p.x_std,
+                tuple(jnp.asarray(sm) for sm in sels), p.W, p.intercept)
+            return np.asarray(q).T.reshape(self.n_outputs, h, w)
         n_pad = -(-n // batch) * batch
         if n_pad != n:
             X = np.pad(X, ((0, n_pad - n), (0, 0)))
             valid = np.pad(valid, (0, n_pad - n))
-        np.nan_to_num(X, copy=False)
         q = self._predict_quant_batches(self.params, jnp.asarray(X),
                                         jnp.asarray(valid), int(batch))
         return np.asarray(q)[:n].T.reshape(self.n_outputs, h, w)

@@ -113,18 +113,14 @@ def poly_feature_exponents(n_features: int, degree: int,
     return np.stack(rows, axis=0)
 
 
-def make_poly_expander(n_features: int, degree: int,
-                       include_bias: bool = False):
-    """Returns a traced function (N, n_features) -> (N, F) computing the
-    monomial expansion as ``degree`` gathered-column products — three
-    gathers and two elementwise multiplies for degree 3 instead of an
-    unrolled per-monomial chain (a ~100x trace/compile-size reduction at
-    285 features, and a vectorised runtime)."""
+def poly_factor_indices(n_features: int, degree: int,
+                        include_bias: bool = False) -> np.ndarray:
+    """(F, degree) int32: factor each monomial into exactly ``degree``
+    indices into [1, x_0, ..., x_{n-1}] (index 0 is the constant-one
+    column) — monomial m = prod_d X_ext[:, factor_idx[m, d]]."""
     if degree < 1:
         raise ValueError("degree must be >= 1")
     exps = poly_feature_exponents(n_features, degree, include_bias)
-    # factor each monomial into exactly ``degree`` indices into
-    # [1, x_0, ..., x_{n-1}] (index 0 is the constant-one column)
     factor_idx = np.zeros((exps.shape[0], degree), dtype=np.int32)
     for row, e in enumerate(exps):
         fs = []
@@ -132,6 +128,36 @@ def make_poly_expander(n_features: int, degree: int,
             fs.extend([i + 1] * int(p))
         fs.extend([0] * (degree - len(fs)))
         factor_idx[row] = fs
+    return factor_idx
+
+
+def poly_selector_matrices(n_features: int, degree: int,
+                           include_bias: bool = False):
+    """One-hot factor-selection matrices for the monomial expansion:
+    ``S_d[j, m] = 1`` iff factor d of monomial m is column j of
+    [1, x_0, ..., x_{n-1}], so ``prod_d (X_ext @ S_d)`` equals the
+    gather-based expansion from :func:`make_poly_expander`. Returns
+    (tuple of (n_features+1, F) float32, F). These turn the expansion
+    into MXU matmuls — the form the fused Pallas SR-predict kernel
+    keeps resident in VMEM."""
+    factor_idx = poly_factor_indices(n_features, degree, include_bias)
+    f = factor_idx.shape[0]
+    mats = []
+    for d in range(degree):
+        S = np.zeros((n_features + 1, f), dtype=np.float32)
+        S[factor_idx[:, d], np.arange(f)] = 1.0
+        mats.append(S)
+    return tuple(mats), f
+
+
+def make_poly_expander(n_features: int, degree: int,
+                       include_bias: bool = False):
+    """Returns a traced function (N, n_features) -> (N, F) computing the
+    monomial expansion as ``degree`` gathered-column products — three
+    gathers and two elementwise multiplies for degree 3 instead of an
+    unrolled per-monomial chain (a ~100x trace/compile-size reduction at
+    285 features, and a vectorised runtime)."""
+    factor_idx = poly_factor_indices(n_features, degree, include_bias)
 
     idx_const = [jnp.asarray(factor_idx[:, d]) for d in range(degree)]
 
@@ -143,7 +169,7 @@ def make_poly_expander(n_features: int, degree: int,
             out = out * jnp.take(X_ext, idx_const[d], axis=-1)
         return out
 
-    return expand, exps.shape[0]
+    return expand, factor_idx.shape[0]
 
 
 # ---------------------------------------------------------------------------

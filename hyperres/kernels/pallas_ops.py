@@ -675,3 +675,100 @@ def pallas_sinkhorn_duals(log_a: jax.Array, log_b: jax.Array,
         interpret=interpret,
     )(Mr.astype(jnp.float32), la, lb)
     return f[:n, 0], g[0, :m], err[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Fused spectral-SR prediction
+# ---------------------------------------------------------------------------
+
+def pallas_sr_predict_u16(X: jax.Array, valid: jax.Array,
+                          x_mean: jax.Array, x_std: jax.Array,
+                          selectors: "tuple[jax.Array, ...]",
+                          W: jax.Array, intercept: jax.Array,
+                          tile_rows: int = 8192,
+                          interpret: Optional[bool] = None) -> jax.Array:
+    """The whole ridge-SR inference as ONE fused kernel:
+    standardise -> degree-d monomial expansion -> ridge matmul ->
+    sigmoid -> u16 x10000 quantize (65535 = nodata).
+
+    The XLA path materialises the (N, F) feature matrix in HBM and,
+    worse, builds it with minor-axis gathers (285 x 4 B picks per
+    pixel — gather-transaction-bound, measured 1.97 s per 85 Mpx
+    granule). Here each ``tile_rows`` block expands IN VMEM via one-hot
+    selection matmuls (``selectors[d]`` is the (Bx+1, F) 0/1 matrix
+    picking monomial factor d; F_block = prod_d X_ext @ S_d) and the
+    (F, By) ridge weights stay resident, so HBM traffic is just
+    X in + u16 out (~100 B/pixel).
+
+    X (N, Bx) f32 (finite; nan_to_num upstream), valid (N,) bool,
+    selectors from :func:`~hyperres.kernels.lstsq.poly_selector_matrices`.
+    Returns (N, By) uint16.
+    """
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = _on_cpu()
+    n, bx = X.shape
+    f, by = W.shape
+    degree = len(selectors)
+    RT = tile_rows
+    n_pad = _round_up(n, RT)
+    bx_pad = _round_up(bx + 1, 8)
+    f_pad = _round_up(f, 128)
+    by_pad = _round_up(by, 128)
+    if n_pad != n:
+        X = jnp.pad(X, ((0, n_pad - n), (0, 0)))
+        valid = jnp.pad(valid, (0, n_pad - n))
+    # X_ext layout: col 0 = the constant-one factor, cols 1..bx = bands
+    mean_p = jnp.zeros((1, bx_pad), jnp.float32).at[0, 1:bx + 1].set(
+        x_mean.astype(jnp.float32))
+    inv_std_p = jnp.zeros((1, bx_pad), jnp.float32).at[0, 1:bx + 1].set(
+        1.0 / x_std.astype(jnp.float32))
+    # one-hot: col 0 of X_ext must come out as exactly 1 after the
+    # (x - mean) * inv_std transform -> encode via mean=-1, inv_std=1
+    mean_p = mean_p.at[0, 0].set(-1.0)
+    inv_std_p = inv_std_p.at[0, 0].set(1.0)
+    sels = [jnp.zeros((bx_pad, f_pad), jnp.float32)
+            .at[:s.shape[0], :f].set(s.astype(jnp.float32))
+            for s in selectors]
+    W_p = jnp.zeros((f_pad, by_pad), jnp.float32).at[:f, :by].set(
+        W.astype(jnp.float32))
+    ic_p = jnp.zeros((1, by_pad), jnp.float32).at[0, :by].set(
+        intercept.astype(jnp.float32))
+    Xp = jnp.zeros((n_pad, bx_pad), jnp.float32).at[:, 1:bx + 1].set(X)
+    vp = valid.astype(jnp.float32)[:, None]
+
+    def kernel(x_ref, v_ref, m_ref, s_ref, w_ref, i_ref, *rest):
+        sel_refs = rest[:degree]
+        o_ref = rest[degree]
+        xs = (x_ref[...] - m_ref[...]) * s_ref[...]   # (RT, bx_pad)
+        F_blk = jnp.dot(xs, sel_refs[0][...],
+                        preferred_element_type=jnp.float32)
+        for d in range(1, degree):
+            F_blk = F_blk * jnp.dot(xs, sel_refs[d][...],
+                                    preferred_element_type=jnp.float32)
+        z = jnp.dot(F_blk, w_ref[...],
+                    preferred_element_type=jnp.float32) + i_ref[...]
+        y = 1.0 / (1.0 + jnp.exp(-z))
+        q = jnp.clip(jnp.rint(y * 10000.0), 0.0, 65534.0)
+        q16 = q.astype(jnp.int32).astype(jnp.uint16)
+        o_ref[...] = jnp.where(v_ref[...] > 0.0, q16, jnp.uint16(65535))
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_pad, by_pad), jnp.uint16),
+        grid=(n_pad // RT,),
+        in_specs=[
+            pl.BlockSpec((RT, bx_pad), lambda i: (i, 0)),
+            pl.BlockSpec((RT, 1), lambda i: (i, 0)),
+            pl.BlockSpec((1, bx_pad), lambda i: (0, 0)),
+            pl.BlockSpec((1, bx_pad), lambda i: (0, 0)),
+            pl.BlockSpec((f_pad, by_pad), lambda i: (0, 0)),
+            pl.BlockSpec((1, by_pad), lambda i: (0, 0)),
+        ] + [pl.BlockSpec((bx_pad, f_pad), lambda i: (0, 0))
+             for _ in range(degree)],
+        out_specs=pl.BlockSpec((RT, by_pad), lambda i: (i, 0)),
+        compiler_params=_banded_compiler_params(),
+        interpret=interpret,
+    )(Xp, vp, mean_p, inv_std_p, W_p, ic_p, *sels)
+    return out[:n, :by]

@@ -229,6 +229,14 @@ def test_predict_cube_u16_matches_host_path(rng):
     d = np.abs(q_dev.astype(np.int32) - q_ref.astype(np.int32))
     assert d.max() <= 1  # f32 sigmoid rounding at the quantization edge
 
+    # the fused Pallas kernel engine (interpret on CPU): expansion via
+    # one-hot selection matmuls must reproduce the gather-based path
+    q_pal = model.predict_cube_u16(cube, nodata=-9999.0,
+                                   engine="pallas")
+    np.testing.assert_array_equal(q_pal == 65535, q_ref == 65535)
+    dp = np.abs(q_pal.astype(np.int32) - q_ref.astype(np.int32))
+    assert dp.max() <= 1
+
 
 def test_fused_plan_pallas_banded_matches_xla(tmp_path):
     """FusedOrthoFusionPlan(warp_kernel='pallas_banded') reproduces the
