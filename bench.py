@@ -225,8 +225,38 @@ def _generate_scene(scale: float, seed: int) -> dict:
     }
 
 
+def _wait_for_backend():
+    """Fail fast instead of hanging forever when the TPU tunnel is out.
+
+    The axon device claim blocks indefinitely inside backend init; probe
+    it in a SUBPROCESS with a timeout and retry for a bounded window
+    (HYPERRES_BENCH_CLAIM_RETRIES x 2 min) so a tunnel outage produces a
+    clear error + nonzero exit rather than a silent driver timeout."""
+    import subprocess
+    import sys
+
+    tries = max(1, int(os.environ.get("HYPERRES_BENCH_CLAIM_RETRIES",
+                                      "5")))
+    for i in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"backend probe {i + 1}/{tries} failed (tunnel down?); "
+            "retrying in 60 s")
+        time.sleep(60)
+    log("FATAL: device backend unreachable after "
+        f"{tries} probes — aborting instead of hanging")
+    raise SystemExit(3)
+
+
 def main():
     t_setup0 = time.perf_counter()
+    _wait_for_backend()
     import jax
     import jax.numpy as jnp
 
