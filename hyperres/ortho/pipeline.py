@@ -344,6 +344,8 @@ def orthorectify_granule(
     if warp_backend == "pallas_banded" and not use_two_pass:
         warp_backend = "auto"
     info["out"]["warp_backend"] = warp_backend
+    if banded_group is not None:
+        info["out"]["banded_group"] = int(banded_group)
 
     device_holder: Dict = {}
 
