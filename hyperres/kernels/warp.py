@@ -492,6 +492,83 @@ def _fast_pass(arr: jax.Array, spec, axis: int) -> jax.Array:
     return out[:, :dst]
 
 
+def _fast_pass_2d(arr: jax.Array, spec, axis: int) -> jax.Array:
+    """2-D (H, W) variant of :func:`_fast_pass` — same pad/reshape
+    block-sum (average) and phase-cycled slice lerps (bilinear), but
+    with no trailing channel axis. Run under ``jax.vmap`` over a
+    LEADING channel axis for channel-major (C, H, W) pipelines: every
+    elementwise op then has the W axis minor (full VPU lanes) instead
+    of a 3-wide channel axis."""
+    kind, f = spec[0], spec[1]
+    size = arr.shape[axis]
+    if kind == "avg":
+        _, _, j0, dst, _src, _lo, _hi = spec
+        lo_pad = max(0, -j0)
+        hi_pad = max(0, j0 + f * dst - size)
+        pw = [(0, 0), (0, 0)]
+        pw[axis] = (lo_pad, hi_pad)
+        a = jnp.pad(arr, pw) if (lo_pad or hi_pad) else arr
+        start = j0 + lo_pad
+        a = jax.lax.slice_in_dim(a, start, start + f * dst, axis=axis)
+        if axis == 0:
+            a = a.reshape(dst, f, a.shape[1])
+            return jnp.sum(a, axis=1) * jnp.float32(1.0 / f)
+        a = a.reshape(a.shape[0], dst, f)
+        return jnp.sum(a, axis=2) * jnp.float32(1.0 / f)
+    _, _, r0s, ts, dst, _src, _lo, _hi = spec
+    n_full = (dst + f - 1) // f
+    lo_pad = max(0, -min(r0s))
+    hi_pad = max(0, max(r0s) + n_full + 1 - size)
+    pw = [(0, 0), (0, 0)]
+    pw[axis] = (lo_pad, hi_pad)
+    a = jnp.pad(arr, pw) if (lo_pad or hi_pad) else arr
+    phases = []
+    for p in range(f):
+        s0 = r0s[p] + lo_pad
+        seg0 = jax.lax.slice_in_dim(a, s0, s0 + n_full, axis=axis)
+        seg1 = jax.lax.slice_in_dim(a, s0 + 1, s0 + 1 + n_full,
+                                    axis=axis)
+        t = jnp.float32(ts[p])
+        phases.append(seg0 * (1.0 - t) + seg1 * t)
+    out = jnp.stack(phases, axis=axis + 1)
+    if axis == 0:
+        out = out.reshape(n_full * f, out.shape[2])
+        return out[:dst]
+    out = out.reshape(out.shape[0], n_full * f)
+    return out[:, :dst]
+
+
+@partial(jax.jit, static_argnames=("spec_r", "spec_c", "fill"))
+def separable_resample_fast_cmajor(img_chw: jax.Array, spec_r, spec_c,
+                                   fill: float = NO_DATA_VALUE,
+                                   valid_mask: Optional[jax.Array] = None
+                                   ) -> jax.Array:
+    """Channel-major (C, H, W) twin of :func:`separable_resample_fast`
+    (same nodata-excluded renormalisation; NaN/other fill). Exists
+    because at 10 m granule scale the channel-minor (H, W, 3) layout
+    leaves 125/128 VPU lanes idle on every elementwise op of the
+    upsample epilogue; here channels ride a vmapped leading axis and W
+    stays minor."""
+    img_chw = img_chw.astype(jnp.float32)
+    two = lambda x: _fast_pass_2d(_fast_pass_2d(x, spec_r, 0),
+                                  spec_c, 1)
+    if valid_mask is not None:
+        v = valid_mask
+        num = jax.vmap(two)(jnp.where(v[None], img_chw, 0.0))
+        den = two(v.astype(jnp.float32))[None]
+    else:
+        num = jax.vmap(two)(img_chw)
+        den = two(jnp.ones(img_chw.shape[1:], jnp.float32))[None]
+    good = jnp.abs(den) > 1e-6
+    r_in = ((jnp.arange(num.shape[1]) >= spec_r[-2])
+            & (jnp.arange(num.shape[1]) < spec_r[-1]))
+    c_in = ((jnp.arange(num.shape[2]) >= spec_c[-2])
+            & (jnp.arange(num.shape[2]) < spec_c[-1]))
+    good = good & r_in[None, :, None] & c_in[None, None, :]
+    return jnp.where(good, num / jnp.where(good, den, 1.0),
+                     jnp.asarray(fill, jnp.float32))
+
+
 @partial(jax.jit, static_argnames=("spec_r", "spec_c", "fill"))
 def separable_resample_fast(img: jax.Array, spec_r, spec_c,
                             nodata: Optional[float] = None,

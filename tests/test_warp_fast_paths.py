@@ -427,3 +427,42 @@ def test_fused_plan_uses_fast_specs():
     plan2 = FusedFusionPlan(emit, off, wl, good)
     assert plan2.statics.down_fast is None
     assert plan2._Wr60.shape != (1, 1)
+
+
+def test_separable_resample_fast_cmajor_matches(rng):
+    """The channel-major (C, H, W) fast-resample twin reproduces the
+    (H, W, C) path (same masks, f32 roundoff values) for bilinear
+    upsample and average downsample, with and without a valid mask."""
+    import jax.numpy as jnp
+    import hyperres.kernels.warp as kw
+
+    h60, w60, f = 41, 47, 6
+    h10, w10 = h60 * f, w60 * f
+    idx_r = (np.arange(h10) + 0.5) / f - 0.5
+    idx_c = (np.arange(w10) + 0.5) / f - 0.5
+    sr = kw.separable_fast_spec(idx_r, h60, "bilinear")
+    sc = kw.separable_fast_spec(idx_c, w60, "bilinear")
+    img = rng.random((h60, w60, 3)).astype(np.float32)
+    v = rng.random((h60, w60)) > 0.25
+    a = np.asarray(kw.separable_resample_fast(
+        jnp.asarray(img), sr, sc, fill=np.nan, valid_mask=jnp.asarray(v)))
+    b = np.moveaxis(np.asarray(kw.separable_resample_fast_cmajor(
+        jnp.asarray(np.moveaxis(img, -1, 0)), sr, sc, fill=np.nan,
+        valid_mask=jnp.asarray(v))), 0, -1)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                               rtol=0, atol=5e-7)
+
+    # average downsample (10 m -> 60 m), no mask
+    idx_rd = (np.arange(h60) + 0.5) * f - 0.5
+    idx_cd = (np.arange(w60) + 0.5) * f - 0.5
+    srd = kw.separable_fast_spec(idx_rd, h10, "average", scale=f)
+    scd = kw.separable_fast_spec(idx_cd, w10, "average", scale=f)
+    big = rng.random((h10, w10, 3)).astype(np.float32)
+    c_ = np.asarray(kw.separable_resample_fast(
+        jnp.asarray(big), srd, scd, fill=np.nan))
+    d = np.moveaxis(np.asarray(kw.separable_resample_fast_cmajor(
+        jnp.asarray(np.moveaxis(big, -1, 0)), srd, scd, fill=np.nan)),
+        0, -1)
+    np.testing.assert_allclose(np.nan_to_num(c_), np.nan_to_num(d),
+                               rtol=0, atol=5e-7)
