@@ -749,6 +749,10 @@ def pallas_sr_predict_u16(X: jax.Array, valid: jax.Array,
                                     preferred_element_type=jnp.float32)
         z = jnp.dot(F_blk, w_ref[...],
                     preferred_element_type=jnp.float32) + i_ref[...]
+        # slice the lane padding off BEFORE the store: the HBM output
+        # stays compact (N, By) — a 128-padded u16 output would be
+        # 4x the cube (21.8 GB at granule scale)
+        z = z[:, :o_ref.shape[1]]
         y = 1.0 / (1.0 + jnp.exp(-z))
         q = jnp.clip(jnp.rint(y * 10000.0), 0.0, 65534.0)
         q16 = q.astype(jnp.int32).astype(jnp.uint16)
@@ -756,7 +760,7 @@ def pallas_sr_predict_u16(X: jax.Array, valid: jax.Array,
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, by_pad), jnp.uint16),
+        out_shape=jax.ShapeDtypeStruct((n_pad, by), jnp.uint16),
         grid=(n_pad // RT,),
         in_specs=[
             pl.BlockSpec((RT, bx_pad), lambda i: (i, 0)),
@@ -767,8 +771,8 @@ def pallas_sr_predict_u16(X: jax.Array, valid: jax.Array,
             pl.BlockSpec((1, by_pad), lambda i: (0, 0)),
         ] + [pl.BlockSpec((bx_pad, f_pad), lambda i: (0, 0))
              for _ in range(degree)],
-        out_specs=pl.BlockSpec((RT, by_pad), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((RT, by), lambda i: (i, 0)),
         compiler_params=_banded_compiler_params(),
         interpret=interpret,
     )(Xp, vp, mean_p, inv_std_p, W_p, ic_p, *sels)
-    return out[:n, :by]
+    return out[:n]
