@@ -100,22 +100,23 @@ def pallas_srf_synthesize(
         acc = jnp.dot(x_ref[:], w_ref[:],
                       preferred_element_type=jnp.float32)
         mask = v_ref[:] > 0.0  # (tile, 1) broadcasts over S
-        o_ref[:] = jnp.where(mask, acc, fill_value)
+        # compact HBM output: drop the lane padding before the store
+        o_ref[:] = jnp.where(mask, acc[:, :o_ref.shape[1]], fill_value)
 
     grid = (n_pad // tile_rows,)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, s_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, s), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_rows, b_pad), lambda i: (i, 0)),
             pl.BlockSpec((b_pad, s_pad), lambda i: (0, 0)),
             pl.BlockSpec((tile_rows, 1), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_rows, s_pad), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((tile_rows, s), lambda i: (i, 0)),
         interpret=interpret,
     )(x, w, v)
-    return out[:n, :s]
+    return out[:n]
 
 
 def pallas_quantize_u16(
