@@ -148,23 +148,25 @@ def pallas_quantize_u16(
     q_hi = 65534.0 if nodata_u16 == 65535 else 65535.0
 
     def kernel(x_ref, v_ref, o_ref):
-        q = jnp.clip(jnp.rint((x_ref[:] - lo) * scale), q_lo, q_hi)
+        cc = o_ref.shape[1]
+        q = jnp.clip(jnp.rint((x_ref[:, :cc] - lo) * scale), q_lo, q_hi)
         # Mosaic has no direct f32->u16 cast; go through int32
         q16 = q.astype(jnp.int32).astype(jnp.uint16)
-        o_ref[:] = jnp.where(v_ref[:] > 0.0, q16, jnp.uint16(nodata_u16))
+        o_ref[:] = jnp.where(v_ref[:, :cc] > 0.0, q16,
+                             jnp.uint16(nodata_u16))
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_pad, c_pad), jnp.uint16),
+        out_shape=jax.ShapeDtypeStruct((n_pad, c), jnp.uint16),
         grid=(n_pad // tile_rows,),
         in_specs=[
             pl.BlockSpec((tile_rows, c_pad), lambda i: (i, 0)),
             pl.BlockSpec((tile_rows, c_pad), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((tile_rows, c_pad), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((tile_rows, c), lambda i: (i, 0)),
         interpret=interpret,
     )(xp, vp)
-    return out[:n, :c]
+    return out[:n]
 
 
 def srf_synthesize_auto(cube_hwb, weights_bs, valid_mask=None,
