@@ -46,7 +46,8 @@ import numpy as np
 from ..core.config import OTConfig, PolyFusionConfig
 from ..core.constants import NO_DATA_VALUE
 from ..core.grid import Grid
-from ..kernels.lstsq import linear_fit_masked, polyfit, polyval_channels
+from ..kernels.lstsq import (linear_fit_masked, polyfit,
+                             polyval_channels, polyval_channels_cmajor)
 from ..kernels.sinkhorn import ot_barycentric_targets
 from ..kernels.srf import (
     build_box_weight_matrix, build_srf_weight_matrix, srf_synthesize,
@@ -91,6 +92,11 @@ class FusionStatics:
     # set and the W matrices stay 1x1 dummies.
     down_fast: Optional[tuple] = None
     up_fast: Optional[tuple] = None
+    # phase-4 upsample/apply array layout: "cminor" keeps (H, W, C)
+    # throughout; "cmajor" runs the upsample + epilogue channel-major
+    # (C, H, W) via separable_resample_fast_cmajor so the 85 Mpx
+    # elementwise work gets full VPU lanes, transposing once at the end
+    up_layout: str = "cminor"
 
 
 @dataclass(frozen=True)
@@ -213,17 +219,44 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
     # sources (NaN swaths or sentinel nodata) contribute nothing instead
     # of poisoning (NaN) or skewing (sentinel) boundary pixels; zero
     # valid mass -> NaN -> masked
-    if st.up_fast is not None:
-        sim10 = separable_resample_fast(emit_n, st.up_fast[0],
-                                        st.up_fast[1], fill=jnp.nan,
-                                        valid_mask=valid60)
+    if st.up_fast is not None and st.up_layout == "cmajor":
+        from ..kernels.warp import separable_resample_fast_cmajor
+        sim10_cm = separable_resample_fast_cmajor(
+            jnp.moveaxis(emit_n, -1, 0), st.up_fast[0], st.up_fast[1],
+            fill=jnp.nan, valid_mask=valid60)
+        mask10 = jnp.isfinite(sim10_cm).all(axis=0)
+        sim10 = jnp.moveaxis(sim10_cm, 0, -1)
+        if st.fusion_method in ("ot_poly", "linear"):
+            # channel-wise maps apply directly in channel-major form
+            # (full lanes); affine/histogram mix channels -> fall back
+            # to the (H, W, C) apply on the transposed array
+            if st.fusion_method == "ot_poly":
+                val = polyval_channels_cmajor(params,
+                                              jnp.nan_to_num(sim10_cm))
+            else:
+                val = (jnp.nan_to_num(sim10_cm)
+                       * params[:, 0][:, None, None]
+                       + params[:, 1][:, None, None])
+            mapped_cm = jnp.clip(val, 0.0, 1.0)
+            fused = jnp.moveaxis(
+                jnp.where(mask10[None], mapped_cm, jnp.nan), 0, -1)
+        else:
+            mapped10 = jnp.clip(apply(jnp.nan_to_num(sim10), mask10),
+                                0.0, 1.0)
+            fused = jnp.where(mask10[..., None], mapped10, jnp.nan)
     else:
-        sim10 = separable_resample_matmul(emit_n, Wr10, Wc10,
-                                          fill=jnp.nan,
-                                          valid_mask=valid60)
-    mask10 = jnp.isfinite(sim10).all(axis=-1)
-    mapped10 = jnp.clip(apply(jnp.nan_to_num(sim10), mask10), 0.0, 1.0)
-    fused = jnp.where(mask10[..., None], mapped10, jnp.nan)
+        if st.up_fast is not None:
+            sim10 = separable_resample_fast(emit_n, st.up_fast[0],
+                                            st.up_fast[1], fill=jnp.nan,
+                                            valid_mask=valid60)
+        else:
+            sim10 = separable_resample_matmul(emit_n, Wr10, Wc10,
+                                              fill=jnp.nan,
+                                              valid_mask=valid60)
+        mask10 = jnp.isfinite(sim10).all(axis=-1)
+        mapped10 = jnp.clip(apply(jnp.nan_to_num(sim10), mask10),
+                            0.0, 1.0)
+        fused = jnp.where(mask10[..., None], mapped10, jnp.nan)
     out = {"fused_10m": fused, "matched_60m": matched60,
            "coeffs": params, "n_valid_60m": n_valid}
     if st.return_intermediates:
@@ -358,6 +391,7 @@ class FusedFusionPlan:
         s2_scale: Optional[float] = None,
         lin_min_count: int = 50,
         return_intermediates: bool = False,
+        up_layout: str = "cminor",
     ):
         if fusion_method not in FUSED_METHODS:
             raise FusedUnsupported(
@@ -384,7 +418,8 @@ class FusedFusionPlan:
             s2_nodata=None if nod is None else float(nod),
             lin_min_count=lin_min_count,
             return_intermediates=return_intermediates,
-            down_fast=down_fast, up_fast=up_fast)
+            down_fast=down_fast, up_fast=up_fast,
+            up_layout=up_layout)
 
     def prepare_s2(self, s2_stack_bhw: np.ndarray,
                    rgb_band_idx: Tuple[int, int, int] = (0, 1, 2)):
@@ -434,6 +469,7 @@ class FusedOrthoFusionPlan:
         resampling: str = "cubic",
         orthowarp_row_chunks: int = 64,
         return_intermediates: bool = False,
+        up_layout: str = "cminor",
     ):
         from ..kernels.glt import prepare_glt
 
@@ -488,7 +524,8 @@ class FusedOrthoFusionPlan:
             platform=platform, synth_method=synth_method,
             fusion_method=fusion_method, config=config,
             s2_nodata=s2_nodata, s2_scale=s2_scale,
-            return_intermediates=return_intermediates)
+            return_intermediates=return_intermediates,
+            up_layout=up_layout)
 
     @property
     def statics(self) -> FusionStatics:

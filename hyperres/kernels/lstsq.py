@@ -64,6 +64,19 @@ def polyval_channels(coeffs: jax.Array, img: jax.Array) -> jax.Array:
     return jnp.stack(chans, axis=-1)
 
 
+def polyval_channels_cmajor(coeffs: jax.Array, img_chw: jax.Array
+                            ) -> jax.Array:
+    """coeffs (C, deg+1), img (C, H, W) -> (C, H, W): the channel-major
+    twin of :func:`polyval_channels` (Horner with per-channel
+    coefficients broadcast over the spatial minor axes — full VPU lanes
+    at 10 m granule scale)."""
+    c, k = coeffs.shape
+    acc = jnp.broadcast_to(coeffs[:, 0][:, None, None], img_chw.shape)
+    for i in range(1, k):
+        acc = acc * img_chw + coeffs[:, i][:, None, None]
+    return acc
+
+
 @partial(jax.jit, static_argnames=())
 def linear_fit_masked(x: jax.Array, y: jax.Array, valid: jax.Array,
                       min_count: int = 50) -> Tuple[jax.Array, jax.Array]:

@@ -246,3 +246,56 @@ def test_fused_ot_handles_nan_padding(rng):
     assert np.isfinite(coeffs).all(), coeffs
     fused = np.asarray(out["fused_10m"])
     assert np.isfinite(fused).mean() > 0.3
+
+
+def test_up_layout_cmajor_matches_cminor(rng):
+    """FusedFusionPlan(up_layout='cmajor') reproduces the channel-minor
+    phase 4 (same nodata mask, f32-roundoff values) for every fused
+    method."""
+    import jax.numpy as jnp
+    from hyperres.core.config import OTConfig, PolyFusionConfig
+    from hyperres.core.crs import CRS
+    from hyperres.core.grid import Grid
+    from hyperres.fusion.fused import FUSED_METHODS, FusedFusionPlan
+    from hyperres.testing.scenes import emit_wavelength_grid
+
+    wl, good = emit_wavelength_grid(48)
+    utm = CRS.utm(33, True)
+    h60, w60 = 18, 24
+    emit_grid = Grid(utm, 399960.0, 5800020.0, 60.0, 60.0, w60, h60)
+    s2_grid = Grid(utm, 399960.0, 5800020.0, 10.0, 10.0, w60 * 6,
+                   h60 * 6)
+    yy = np.linspace(0, 1, h60, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 1, w60, dtype=np.float32)[None, :]
+    base = 0.2 + 0.6 * (0.5 * yy + 0.3 * xx)
+    spec = (0.5 + 0.5 * rng.random(48)).astype(np.float32)
+    cube = (base[..., None] * spec
+            + 0.02 * rng.random((h60, w60, 48))).astype(np.float32)
+    cube[2, 3, :] = -9999.0  # nodata pixel -> NaN in the product
+    sy = np.linspace(0, 1, h60 * 6, dtype=np.float32)
+    s2base = 0.2 + 0.6 * (0.5 * sy[:, None] + 0.3 * sy[None, :])
+    s2rgb = np.stack([s2base * c for c in (0.9, 1.0, 1.1)],
+                     axis=-1).astype(np.float32)
+    cfg = PolyFusionConfig(degree=2, ot=OTConfig(n_samples=64,
+                                                 num_itermax=10))
+    for method in FUSED_METHODS:
+        a = FusedFusionPlan(emit_grid, s2_grid, wl, good,
+                            fusion_method=method, config=cfg)(
+            jnp.asarray(cube), jnp.asarray(s2rgb))
+        b = FusedFusionPlan(emit_grid, s2_grid, wl, good,
+                            fusion_method=method, config=cfg,
+                            up_layout="cmajor")(
+            jnp.asarray(cube), jnp.asarray(s2rgb))
+        fa = np.asarray(a["fused_10m"])
+        fb = np.asarray(b["fused_10m"])
+        np.testing.assert_array_equal(np.isnan(fa), np.isnan(fb),
+                                      err_msg=method)
+        d = np.abs(np.nan_to_num(fa) - np.nan_to_num(fb))
+        if method == "histogram":
+            # the CDF transfer snaps to quantile bins: f32 reassociation
+            # in the upsample can flip a handful of edge pixels by one
+            # bin step — bound the fraction and the step size
+            assert (d > 5e-6).mean() < 1e-3, method
+            assert d.max() < 0.05, method
+        else:
+            assert d.max() <= 5e-6, (method, d.max())
