@@ -378,3 +378,59 @@ def sharded_streamed_orthowarp(read_bands, shape_hwb, glt_flat_idx,
         read_bands, shape_hwb, fold, utm0, transfer=transfer,
         chunk_bands=chunk_bands, depth=depth, nodata=fill,
         payload_mode=True)
+
+
+# ---------------------------------------------------------------------------
+# Data-parallel spectral-SR inference (the serving path across chips)
+# ---------------------------------------------------------------------------
+
+def sharded_sr_predict_u16(model: RidgeSpectralSR, X, valid, mesh: Mesh,
+                           axis: str = "data",
+                           engine: str = "xla"):
+    """Row-sharded granule-scale SR inference: each chip runs the
+    fused predict program (standardise -> monomial expansion -> ridge
+    matmul -> sigmoid -> u16 quantize) on its pixel shard; no
+    collectives are needed (the model parameters replicate). The
+    multi-chip form of ``RidgeSpectralSR.predict_cube_u16`` for
+    production serving.
+
+    X (N, Bx) f32 (finite), valid (N,) bool; N must divide the mesh
+    axis size. ``engine``: "xla" expands/matmuls the whole shard in one
+    shot; "pallas" the fused VMEM kernel (TPU). Returns (N, By) uint16
+    (65535 = nodata).
+    """
+    assert model.params is not None, "fit() first"
+    p = model.params
+    n = X.shape[0]
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(f"N={n} must divide the '{axis}' axis "
+                         f"({n_dev}) — pad the pixel rows first")
+
+    if engine == "pallas":
+        from ..kernels.lstsq import poly_selector_matrices
+        from ..kernels.pallas_ops import pallas_sr_predict_u16
+        sels, f = poly_selector_matrices(
+            model.n_inputs, model.cfg.degree, model.cfg.include_bias)
+        sels_j = tuple(jnp.asarray(sm) for sm in sels)
+
+        def local(X_s, v_s):
+            return pallas_sr_predict_u16(X_s, v_s, p.x_mean, p.x_std,
+                                         sels_j, p.W, p.intercept)
+    else:
+        from ..kernels.lstsq import sigmoid
+
+        def local(X_s, v_s):
+            # one-shot per shard (a shard is already 1/n_dev of the
+            # cube; fori-batching inside shard_map trips the
+            # varying-manual-axes carry check) — the exact
+            # _predict_quant_batches math
+            z = (model.expand((X_s - p.x_mean) / p.x_std) @ p.W
+                 + p.intercept)
+            q = jnp.clip(jnp.rint(sigmoid(z) * 10000.0), 0.0,
+                         65534.0).astype(jnp.uint16)
+            return jnp.where(v_s[:, None], q, jnp.uint16(65535))
+
+    run = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
+                    out_specs=P(axis))
+    return run(jnp.asarray(X, jnp.float32), jnp.asarray(valid))

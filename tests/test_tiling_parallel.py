@@ -442,3 +442,35 @@ def test_sharded_streamed_fold_u12_and_f32(eight_devices, rng):
     v = outs["f32"] != -9999.0
     np.testing.assert_array_equal(v, outs["u12"] != -9999.0)
     assert np.abs(outs["f32"][v] - outs["u12"][v]).max() < 2e-3
+
+
+def test_sharded_sr_predict_u16(eight_devices, rng):
+    """Row-sharded SR inference over the 8-device mesh matches the
+    single-device product path exactly (both engines)."""
+    from hyperres.core.config import RidgeSRConfig
+    from hyperres.fusion import RidgeSpectralSR
+    from hyperres.parallel.ops import sharded_sr_predict_u16
+
+    n, bx, by = 8 * 256, 4, 6
+    Xtr = rng.random((4000, bx)).astype(np.float32)
+    Ytr = np.clip(0.2 + 0.4 * Xtr[:, :1] + 0.1 * rng.random((4000, by)),
+                  0.01, 0.99).astype(np.float32)
+    model = RidgeSpectralSR(bx, by, RidgeSRConfig(degree=2,
+                                                  batch_pixels=256))
+    model.fit(Xtr, Ytr)
+    X = rng.random((n, bx)).astype(np.float32)
+    valid = rng.random((n,)) > 0.1
+    X[~valid] = 0.0
+
+    ref = model.predict_cube_u16(
+        np.moveaxis(X.reshape(64, 32, bx), -1, 0),
+        engine="xla").reshape(by, -1).T
+    ref = np.where(valid[:, None], ref, 65535).astype(np.uint16)
+
+    mesh = make_mesh()
+    q = np.asarray(sharded_sr_predict_u16(model, X, valid, mesh))
+    # single-device ref treats all pixels valid; re-mask to compare
+    got = np.where(valid[:, None], q, 65535)
+    np.testing.assert_array_equal(got, ref)
+    # invalid rows are nodata in the sharded output
+    assert (q[~valid] == 65535).all()
