@@ -133,7 +133,12 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
                & (synth[..., 0] > 0)
                & (cube_hwb[..., 0] != st.emit_nodata))
     # Phase 2: real S2 RGB box-averaged onto the EMIT grid
-    if st.down_fast is not None:
+    if st.down_fast is not None and st.up_layout == "cmajor":
+        from ..kernels.warp import separable_resample_fast_cmajor
+        s2_60 = jnp.moveaxis(separable_resample_fast_cmajor(
+            jnp.moveaxis(s2rgb10_hwb, -1, 0), st.down_fast[0],
+            st.down_fast[1], nodata=st.s2_nodata, fill=jnp.nan), 0, -1)
+    elif st.down_fast is not None:
         s2_60 = separable_resample_fast(
             s2rgb10_hwb, st.down_fast[0], st.down_fast[1],
             nodata=st.s2_nodata, fill=jnp.nan)

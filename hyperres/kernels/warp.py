@@ -540,6 +540,7 @@ def _fast_pass_2d(arr: jax.Array, spec, axis: int) -> jax.Array:
 
 @partial(jax.jit, static_argnames=("spec_r", "spec_c", "fill"))
 def separable_resample_fast_cmajor(img_chw: jax.Array, spec_r, spec_c,
+                                   nodata: Optional[float] = None,
                                    fill: float = NO_DATA_VALUE,
                                    valid_mask: Optional[jax.Array] = None
                                    ) -> jax.Array:
@@ -553,9 +554,17 @@ def separable_resample_fast_cmajor(img_chw: jax.Array, spec_r, spec_c,
     two = lambda x: _fast_pass_2d(_fast_pass_2d(x, spec_r, 0),
                                   spec_c, 1)
     if valid_mask is not None:
-        v = valid_mask
-        num = jax.vmap(two)(jnp.where(v[None], img_chw, 0.0))
-        den = two(v.astype(jnp.float32))[None]
+        ok = valid_mask[None]
+        if nodata is not None:
+            ok = ok & (img_chw != nodata) & jnp.isfinite(img_chw)
+            den = jax.vmap(two)(ok.astype(jnp.float32))
+        else:
+            den = two(valid_mask.astype(jnp.float32))[None]
+        num = jax.vmap(two)(jnp.where(ok, img_chw, 0.0))
+    elif nodata is not None:
+        ok = (img_chw != nodata) & jnp.isfinite(img_chw)
+        num = jax.vmap(two)(jnp.where(ok, img_chw, 0.0))
+        den = jax.vmap(two)(ok.astype(jnp.float32))
     else:
         num = jax.vmap(two)(img_chw)
         den = two(jnp.ones(img_chw.shape[1:], jnp.float32))[None]
