@@ -466,3 +466,33 @@ def test_separable_resample_fast_cmajor_matches(rng):
         0, -1)
     np.testing.assert_allclose(np.nan_to_num(c_), np.nan_to_num(d),
                                rtol=0, atol=5e-7)
+
+
+def test_cmajor_nodata_renormalisation(rng):
+    """Per-channel nodata renormalisation in the channel-major twin
+    matches the channel-minor path (each channel's nodata pattern gets
+    its own denominator)."""
+    import jax.numpy as jnp
+    import hyperres.kernels.warp as kw
+
+    h10, w10, f = 60, 72, 6
+    h60, w60 = h10 // f, w10 // f
+    idx_r = (np.arange(h60) + 0.5) * f - 0.5
+    idx_c = (np.arange(w60) + 0.5) * f - 0.5
+    sr = kw.separable_fast_spec(idx_r, h10, "average", scale=f)
+    sc = kw.separable_fast_spec(idx_c, w10, "average", scale=f)
+    img = rng.random((h10, w10, 3)).astype(np.float32)
+    # distinct nodata pattern per channel
+    img[5:20, 8:30, 0] = 65535.0
+    img[2:9, 40:66, 2] = 65535.0
+    a = np.asarray(kw.separable_resample_fast(
+        jnp.asarray(img), sr, sc, nodata=65535.0, fill=np.nan))
+    b = np.moveaxis(np.asarray(kw.separable_resample_fast_cmajor(
+        jnp.asarray(np.moveaxis(img, -1, 0)), sr, sc, nodata=65535.0,
+        fill=np.nan)), 0, -1)
+    np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+    np.testing.assert_allclose(np.nan_to_num(a), np.nan_to_num(b),
+                               rtol=0, atol=5e-7)
+    # channels must renormalise independently: channel 1 (no nodata)
+    # keeps plain means where channel 0 is masked
+    assert not np.isnan(a[1, 2, 1])
