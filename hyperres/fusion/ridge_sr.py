@@ -233,7 +233,8 @@ class RidgeSpectralSR:
         # X is a VIEW chain onto the caller's cube when it is already
         # f32 — nan_to_num must copy or we'd zero the caller's NaNs
         X = np.nan_to_num(X, copy=True)
-        if engine == "auto":
+        auto = engine == "auto"
+        if auto:
             engine = ("pallas" if jax.default_backend() == "tpu"
                       else "xla")
         if engine == "pallas":
@@ -243,10 +244,21 @@ class RidgeSpectralSR:
                 self.n_inputs, self.cfg.degree, self.cfg.include_bias)
             assert f == self.n_features
             p = self.params
-            q = pallas_sr_predict_u16(
-                jnp.asarray(X), jnp.asarray(valid), p.x_mean, p.x_std,
-                tuple(jnp.asarray(sm) for sm in sels), p.W, p.intercept)
-            return np.asarray(q).T.reshape(self.n_outputs, h, w)
+            try:
+                q = pallas_sr_predict_u16(
+                    jnp.asarray(X), jnp.asarray(valid), p.x_mean,
+                    p.x_std, tuple(jnp.asarray(sm) for sm in sels),
+                    p.W, p.intercept)
+                return np.asarray(q).T.reshape(self.n_outputs, h, w)
+            except Exception:
+                if not auto:
+                    raise
+                # auto mode degrades to the XLA program rather than
+                # failing the product on a Mosaic lowering regression
+                import warnings
+                warnings.warn("pallas SR predict failed to lower; "
+                              "falling back to the XLA engine",
+                              RuntimeWarning)
         n_pad = -(-n // batch) * batch
         if n_pad != n:
             X = np.pad(X, ((0, n_pad - n), (0, 0)))
