@@ -431,6 +431,9 @@ def sharded_sr_predict_u16(model: RidgeSpectralSR, X, valid, mesh: Mesh,
                          65534.0).astype(jnp.uint16)
             return jnp.where(v_s[:, None], q, jnp.uint16(65535))
 
+    # check_vma=False: pallas_call's out_shape carries no varying-axes
+    # metadata, which the vma checker (JAX >= 0.9) rejects inside
+    # shard_map; the out_specs already state the sharding explicitly
     run = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
-                    out_specs=P(axis))
+                    out_specs=P(axis), check_vma=False)
     return run(jnp.asarray(X, jnp.float32), jnp.asarray(valid))

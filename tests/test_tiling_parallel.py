@@ -474,3 +474,11 @@ def test_sharded_sr_predict_u16(eight_devices, rng):
     np.testing.assert_array_equal(got, ref)
     # invalid rows are nodata in the sharded output
     assert (q[~valid] == 65535).all()
+    # the fused Pallas engine under the mesh (interpret on CPU):
+    # nodata mask identical, values within the 1-step sigmoid-rounding
+    # envelope at quantization edges (same bound as the single-device
+    # parity tests)
+    qp = np.asarray(sharded_sr_predict_u16(model, X, valid, mesh,
+                                           engine="pallas"))
+    np.testing.assert_array_equal(qp == 65535, q == 65535)
+    assert np.abs(qp.astype(np.int32) - q.astype(np.int32)).max() <= 1
