@@ -1,6 +1,8 @@
 """Randomized round-trip fuzz over the self-contained codecs: many
 shapes, dtypes, tilings, compression combos. Seeded (deterministic)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -9,7 +11,9 @@ from hyperres.core.grid import Grid
 from hyperres.io import envi, tiff
 
 
-RNG = np.random.default_rng(20260816)
+# CI is deterministic; HYPERRES_FUZZ_SEED lets fuzz sessions sweep seeds
+RNG = np.random.default_rng(int(os.environ.get("HYPERRES_FUZZ_SEED",
+                                               "20260816")))
 
 
 def _rand_grid(w, h):
