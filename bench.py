@@ -25,8 +25,14 @@ wire format) that phase 2 consumes.
 Environment knobs: HYPERRES_BENCH_SCALE (default 1.0) scales the raw
 granule dims for quick smoke runs; HYPERRES_BENCH_WARP ("auto"
 default: banded Pallas on TPU when feasible, XLA two-pass otherwise;
-also "two_pass", "taploop", "pallas", "pallas_banded"); HYPERRES_BENCH_RUNS, HYPERRES_BENCH_STAGES,
-HYPERRES_BENCH_TRANSFER (u16 default | u12 | f32 raw-cube ingest).
+also "two_pass", "taploop", "pallas", "pallas_banded");
+HYPERRES_BENCH_RUNS (default 3, min-of-N), HYPERRES_BENCH_STAGES,
+HYPERRES_BENCH_TRANSFER (u16 default | u12 | f32 raw-cube ingest);
+HYPERRES_BENCH_CLAIM_WINDOW_S (default 4 h) bounds the tunnel-outage
+retry loop; HYPERRES_BENCH_PSNR_GATE / HYPERRES_BENCH_SAM_GATE /
+HYPERRES_BENCH_METHOD_PSNR_GATE tune the accuracy gates (defaults
+45 dB / 0.01 rad / 28 dB — measured 48.2 / 0.0057 / 33.2 at full
+scale leave ~3 dB headroom).
 """
 
 import json
@@ -226,19 +232,46 @@ def _generate_scene(scale: float, seed: int) -> dict:
     }
 
 
+_METRIC_NAME = "emit_granule_ortho_srf_fusion_to_10m"
+
+
+def _emit_partial(status: str, **extra) -> None:
+    """Record state as the one JSON line even when the run cannot
+    complete — a failed round should still leave a machine-readable
+    record instead of an empty file (round-3 lesson: BENCH_r03.json
+    was rc=3 with no payload during a multi-hour tunnel outage)."""
+    print(json.dumps({
+        "metric": _METRIC_NAME,
+        "value": None,
+        "unit": "seconds",
+        "vs_baseline": None,
+        "status": status,
+        **extra,
+    }), flush=True)
+
+
 def _wait_for_backend():
-    """Fail fast instead of hanging forever when the TPU tunnel is out.
+    """Outlast tunnel outages instead of hanging forever OR giving up
+    in minutes.
 
     The axon device claim blocks indefinitely inside backend init; probe
-    it in a SUBPROCESS with a timeout and retry for a bounded window
-    (HYPERRES_BENCH_CLAIM_RETRIES x 2 min) so a tunnel outage produces a
-    clear error + nonzero exit rather than a silent driver timeout."""
+    it in a SUBPROCESS with a timeout. Round 3 lost its official number
+    to a multi-hour outage against a 15-minute retry window, so the
+    window is now hours by default (HYPERRES_BENCH_CLAIM_WINDOW_S,
+    default 4 h — the driver's own timeout is the real cap) with
+    exponential backoff, and an abort prints a partial-status JSON line
+    before the nonzero exit."""
     import subprocess
     import sys
 
-    tries = max(1, int(os.environ.get("HYPERRES_BENCH_CLAIM_RETRIES",
-                                      "5")))
-    for i in range(tries):
+    window_s = float(os.environ.get("HYPERRES_BENCH_CLAIM_WINDOW_S",
+                                    str(4 * 3600)))
+    # legacy knob: a probe-count cap, honored when explicitly set
+    max_probes = int(os.environ.get("HYPERRES_BENCH_CLAIM_RETRIES", "0"))
+    deadline = time.monotonic() + window_s
+    delay, i = 30.0, 0
+    while True:
+        i += 1
         try:
             r = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
@@ -247,11 +280,18 @@ def _wait_for_backend():
                 return
         except subprocess.TimeoutExpired:
             pass
-        log(f"backend probe {i + 1}/{tries} failed (tunnel down?); "
-            "retrying in 60 s")
-        time.sleep(60)
-    log("FATAL: device backend unreachable after "
-        f"{tries} probes — aborting instead of hanging")
+        now = time.monotonic()
+        if now + delay > deadline or (max_probes and i >= max_probes):
+            break
+        log(f"backend probe {i} failed (tunnel down?); retrying in "
+            f"{delay:.0f} s ({(deadline - now) / 60:.0f} min left in "
+            "window)")
+        time.sleep(delay)
+        delay = min(delay * 2.0, 600.0)
+    log(f"FATAL: device backend unreachable after {i} probes over "
+        f"{window_s / 60:.0f} min — aborting instead of hanging")
+    _emit_partial("backend_unreachable", probes=i,
+                  window_s=round(window_s, 1))
     raise SystemExit(3)
 
 
@@ -345,9 +385,50 @@ def main():
             _ = np.asarray(tiny(z))
             log(f"tunnel noop roundtrip: {time.perf_counter() - t0:.3f}s")
 
-    n_runs = max(1, int(os.environ.get("HYPERRES_BENCH_RUNS", "1")))
+    # accuracy metrics (device-resident, scalar-only readback), two
+    # tiers against the METHOD-IDEAL target from the real 10 m S2 alone
+    # through the same 60 m bottleneck (plan.s2_reference_10m):
+    #  - pipeline PSNR/SAM: fused vs the FITTED coeffs applied to the
+    #    target — the OT+poly map is shared so it cancels, isolating
+    #    ortho/SRF/ingest/upsample correctness (warp-limited ~52 dB).
+    #  - method PSNR: fused vs the target directly — includes the
+    #    entropic-Sinkhorn shrinkage inherent to the reference's
+    #    OT(reg=0.05)+poly method (~33 dB by construction); a broken
+    #    fit that the pipeline tier can't see (it cancels the map)
+    #    drops this far below its gate.
+    # (Raw 10 m truth is NOT the target: fused_10m carries only 60 m
+    # spatial content by construction — demo nb cell 81 upsamples the
+    # sim bands — so that comparison measures the method's bilinear
+    # smoothing, again ~33 dB, not pipeline health.)
+    from hyperres.kernels.lstsq import polyval_channels
+    from hyperres.kernels.stats import erode_mask
+
+    @jax.jit
+    def accuracy_metrics(fused, target, coeffs):
+        vf = jnp.isfinite(fused).all(axis=-1)
+        valid = vf & jnp.isfinite(target).all(axis=-1)
+        e = erode_mask(valid, 2)
+        n = jnp.maximum(jnp.sum(e), 1)
+        mapped = jnp.clip(polyval_channels(coeffs,
+                                           jnp.nan_to_num(target)),
+                          0.0, 1.0)
+
+        def psnr_vs(ref):
+            diff = jnp.where(e[..., None], fused - ref, 0.0)
+            mse = jnp.sum(diff * diff) / (n * fused.shape[-1])
+            return 10.0 * jnp.log10(1.0 / mse)
+
+        num = jnp.sum(fused * mapped, axis=-1)
+        den = (jnp.linalg.norm(fused, axis=-1)
+               * jnp.linalg.norm(mapped, axis=-1) + 1e-12)
+        ang = jnp.arccos(jnp.clip(num / den, -1.0, 1.0))
+        sam = jnp.sum(jnp.where(e, ang, 0.0)) / n
+        return (vf.mean(), jnp.nanmax(fused), psnr_vs(mapped),
+                psnr_vs(target), sam)
+
+    n_runs = max(1, int(os.environ.get("HYPERRES_BENCH_RUNS", "3")))
     times = []
-    fused_np = coeffs_np = fused_shape = None
+    coeffs_np = fused_shape = acc = None
     for i in range(n_runs):
         run_key = jax.random.PRNGKey(i + 1)
         t0 = time.perf_counter()
@@ -357,23 +438,44 @@ def main():
         times.append(time.perf_counter() - t0)
         fused_shape = out["fused_10m"].shape
         if i == n_runs - 1:
-            fused_np = np.asarray(out["fused_10m"])
+            target = plan.s2_reference_10m(out["utm_cube"], s2rgb_j)
+            acc = [float(x) for x in accuracy_metrics(
+                out["fused_10m"], target, out["coeffs"])]
+            target.delete()
             coeffs_np = np.asarray(out["coeffs"])
         release(out)
         del out
     elapsed = min(times)
     log(f"runs: {[f'{t:.3f}' for t in times]}; fused shape {fused_shape}")
 
-    finite_frac = float(np.isfinite(fused_np).mean())
-    ok = finite_frac > 0.3 and float(np.nanmax(fused_np)) <= 1.0
-    log(f"output sane: {ok} (finite frac {finite_frac:.3f}); "
+    # gate defaults carry ~3 dB headroom under the full-scale measured
+    # values (pipeline 48.2 dB, SAM 0.0057, method 33.2 dB — round 4,
+    # TPU v5e; the VERDICT's 50 dB suggestion came from the UTM-cube
+    # metric, which validate_fullscale.py still gates separately)
+    finite_frac, fmax, psnr_db, method_psnr_db, sam_rad = acc
+    psnr_gate = float(os.environ.get("HYPERRES_BENCH_PSNR_GATE", "45.0"))
+    sam_gate = float(os.environ.get("HYPERRES_BENCH_SAM_GATE", "0.01"))
+    method_gate = float(os.environ.get("HYPERRES_BENCH_METHOD_PSNR_GATE",
+                                       "28.0"))
+    ok = (finite_frac > 0.3 and fmax <= 1.0
+          and psnr_db >= psnr_gate and sam_rad <= sam_gate
+          and method_psnr_db >= method_gate)
+    log(f"accuracy vs method-ideal target: pipeline PSNR {psnr_db:.2f} "
+        f"dB (gate >= {psnr_gate}), SAM {sam_rad:.5f} rad "
+        f"(gate <= {sam_gate}); method PSNR {method_psnr_db:.2f} dB "
+        f"(gate >= {method_gate}); finite frac {finite_frac:.3f}; "
         f"coeffs: {coeffs_np.round(3).tolist()}")
 
-    print(json.dumps({
-        "metric": "emit_granule_ortho_srf_fusion_to_10m",
+    result = {
+        "metric": _METRIC_NAME,
         "value": round(elapsed, 4),
         "unit": "seconds",
         "vs_baseline": round(north_star_s / elapsed, 3),
+        # accuracy of the timed product against the scene's analytic
+        # truth (the sanity gate, not just finiteness)
+        "psnr_db": round(psnr_db, 2),
+        "sam_rad": round(sam_rad, 5),
+        "method_psnr_db": round(method_psnr_db, 2),
         # honest steady-state numbers on this host/tunnel: the input
         # host->HBM ingest (streamed, u16-quantized by default; raw
         # cube + 10 m S2 stack) and the ingest-inclusive wall clock
@@ -388,7 +490,13 @@ def main():
         "engine": "FusedOrthoFusionPlan",
         "warp_kernel": warp_kernel,
         "warp_backend": plan.warp_statics.backend,
-    }))
+    }
+    if not ok:
+        result["status"] = "accuracy_gate_failed"
+        print(json.dumps(result), flush=True)
+        log("FATAL: accuracy gate failed")
+        raise SystemExit(4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -11,6 +11,7 @@ subcommands:
   python -m hyperres scene  OUT_DIR [--raw H W] [--bands N] [--s2-size N]
   python -m hyperres batch  JOBS.json OUT_DIR [--retries N] [--no-resume]
   python -m hyperres srf    SOURCE.xlsx|.csv [--platform S2A] [--fetch]
+  python -m hyperres verify-granule EMIT.nc S2_STACK.tif OUT_DIR
   python -m hyperres info   RASTER [RASTER ...]
   python -m hyperres quicklook RASTER OUT.html [--max-size N] [--max-bands N]
 """
@@ -115,6 +116,24 @@ def _cmd_batch(args) -> int:
     print(_json.dumps({"summary": driver.summary(),
                        "manifest": str(driver.manifest_path)}, indent=2))
     return 0 if driver.summary().get("failed", 0) == 0 else 1
+
+
+def _cmd_verify_granule(args) -> int:
+    """One-command real-granule parity: shipped fast path vs the
+    reference-semantics exact path (see hyperres.verify)."""
+    from .verify import verify_granule
+
+    res = verify_granule(
+        args.granule, args.s2_stack, args.out_dir,
+        mask_file=args.mask, s2_scale=args.s2_scale,
+        cube_psnr_gate=args.cube_psnr_gate,
+        fused_psnr_gate=args.fused_psnr_gate,
+        pipeline_psnr_gate=args.pipeline_psnr_gate)
+    print(json.dumps({"report": str(res.report_path),
+                      "json": str(res.json_path),
+                      "gates": res.metrics["gates"],
+                      "passed": res.passed}, indent=2))
+    return 0 if res.passed else 1
 
 
 def _cmd_info(args) -> int:
@@ -252,6 +271,19 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--dest", default="user",
                    help="'user' cache, 'package' data dir, or a directory")
     r.set_defaults(fn=_cmd_srf)
+
+    v = sub.add_parser("verify-granule",
+                       help="shipped-vs-exact parity harness on one "
+                            "EMIT/S2 pair (markdown + JSON report)")
+    v.add_argument("granule", help="EMIT L2A_RFL .nc")
+    v.add_argument("s2_stack", help="Sentinel-2 10 m stack GeoTIFF")
+    v.add_argument("out_dir")
+    v.add_argument("--mask", default=None, help="EMIT L2A_MASK .nc")
+    v.add_argument("--s2-scale", type=float, default=1e-4)
+    v.add_argument("--cube-psnr-gate", type=float, default=40.0)
+    v.add_argument("--fused-psnr-gate", type=float, default=40.0)
+    v.add_argument("--pipeline-psnr-gate", type=float, default=40.0)
+    v.set_defaults(fn=_cmd_verify_granule)
 
     i = sub.add_parser("info", help="raster geometry summaries")
     i.add_argument("rasters", nargs="+")

@@ -50,13 +50,15 @@ def sample_valid_pixels_device(
 
     ``method``: "exact" uses ``lax.top_k``; "approx" uses TPU's
     ``lax.approx_max_k`` (hardware bucketed top-k). "auto" picks approx
-    on TPU. Approximate selection keeps the sample EXACTLY uniform: the
-    chosen subset is a function of the iid Gumbel keys alone, so any
-    key-measurable selection rule yields an exchangeable (uniform)
-    subset of the valid pixels — the approximation only means a valid
-    pixel can occasionally be displaced by an invalid (-inf) slot near
-    the tail, which the returned 0-weights already absorb (the same
-    padding contract as n_valid < n_samples)."""
+    on TPU. The exact path is uniform without replacement. The approx
+    path is NEARLY uniform but not exactly: the bucketed selection rule
+    is not permutation-symmetric — a valid pixel's selection probability
+    depends on how many other valid pixels share its hardware bucket, so
+    pixels in sparse-valid regions (swath edges) are slightly
+    overrepresented. The bias is bounded by the recall target of the
+    bucketing (~5% by default) and is negligible for the OT/stretch fit
+    sample this feeds; pass method="exact" where exact uniformity
+    matters."""
     c = img.shape[-1]
     flat = img.reshape(-1, c)
     # images smaller than the sample budget: take every pixel (the

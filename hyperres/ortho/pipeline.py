@@ -341,6 +341,22 @@ def orthorectify_granule(
                                                np.asarray(wr_field).T)
         if warp_backend == "auto" and banded_group is not None:
             warp_backend = "pallas_banded"
+        elif warp_backend == "pallas_banded" and banded_group is None:
+            # Explicitly requested banded kernels on infeasible geometry
+            # (some tile's source span exceeds the 384-sample window):
+            # running them anyway would silently emit nodata tiles.
+            # Fall back to the dense two-pass backend, loudly
+            # (FusedOrthoFusionPlan raises for the same condition; the
+            # pipeline degrades gracefully instead but records it).
+            import warnings
+            warnings.warn(
+                "warp_backend='pallas_banded' requested but the warp "
+                "geometry is infeasible for the banded kernels "
+                "(source span > 384 samples for some destination tile); "
+                "falling back to the dense two-pass XLA backend.",
+                RuntimeWarning, stacklevel=2)
+            warp_backend = "xla"
+            info["out"]["warp_backend_fallback"] = "banded_infeasible"
     if warp_backend == "pallas_banded" and not use_two_pass:
         warp_backend = "auto"
     info["out"]["warp_backend"] = warp_backend

@@ -219,6 +219,8 @@ def fuse_pair(
             emit_wavelengths, bands=["B2", "B3", "B4"],
             good_mask=good_mask)
     else:
+        from .spectral import warn_if_parametric_srf
+        warn_if_parametric_srf(platform, context="fusion")
         srf = load_srf(platform, bands=["B2", "B3", "B4"])
         W, names, _ = build_srf_weight_matrix(emit_wavelengths, srf,
                                               good_mask)

@@ -1,5 +1,6 @@
 from .srf_tables import (
     builtin_srf, describe_srf_source, load_srf, load_srf_from_xlsx, band_resolution_m,
+    warn_if_parametric_srf,
     S2A_BAND_TABLE, S2B_BAND_TABLE, S2_BOX_TABLE,
 )
 from .srf_cache import (
@@ -14,6 +15,7 @@ from .synth import (
 
 __all__ = [
     "builtin_srf", "describe_srf_source", "load_srf", "load_srf_from_xlsx", "band_resolution_m",
+    "warn_if_parametric_srf",
     "import_srf_tables", "load_srf_from_csv", "load_srf_npz",
     "measured_srf", "save_srf_npz",
     "S2A_BAND_TABLE", "S2B_BAND_TABLE", "S2_BOX_TABLE",

@@ -167,6 +167,34 @@ def load_srf(platform: str = "S2A",
     return builtin_srf(platform=platform, bands=bands)
 
 
+def warn_if_parametric_srf(platform: str = "S2A",
+                           context: str = "SRF synthesis") -> str:
+    """Warn loudly when the resolver would fall back to the built-in
+    parametric model — both fusion engines call this at plan-build /
+    fuse time so a real-data run cannot silently synthesize pseudo-S2
+    bands from unmeasured curves. Returns the resolved source string.
+
+    The parametric-vs-measured divergence is bounded in
+    docs/PARITY.md ("SRF sensitivity"): centre +-2 nm / FWHM +-5% /
+    exponent 3..5 perturbations move synthesized band values by at
+    most 0.006 reflectance (5.3% relative), and the OT/poly
+    calibration absorbs most of that — the fused product stays within
+    ~49 dB of the unperturbed result. Import measured tables once with
+    ``hyperres srf`` to remove the bias entirely."""
+    src = describe_srf_source(platform)
+    if src == "parametric":
+        import warnings
+        warnings.warn(
+            f"{context}: using the built-in PARAMETRIC Sentinel-2 "
+            f"{platform} SRF model, not measured Copernicus curves — "
+            "synthesized band values can deviate from the reference "
+            "(bounded in docs/PARITY.md 'SRF sensitivity'). Run "
+            "`hyperres srf --fetch` (or point it at the workbook) "
+            "once on a connected host to import the measured tables.",
+            UserWarning, stacklevel=3)
+    return src
+
+
 def describe_srf_source(platform: str = "S2A",
                         xlsx_path: Optional[Union[str, Path]] = None
                         ) -> str:

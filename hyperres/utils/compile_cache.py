@@ -33,14 +33,24 @@ def enable_compilation_cache(
 
     # default location: INSIDE the repo checkout (survives environment /
     # container recreation, which the home cache demonstrably does not),
-    # falling back to the home cache for installed (non-checkout) uses
-    default = Path(__file__).resolve().parents[2] / ".jaxcache"
-    if not (default.parent / "hyperres").is_dir():  # not a checkout
+    # falling back to the home cache for installed (non-checkout) uses.
+    # A checkout is detected by a repo marker two levels above the
+    # package (.git or pyproject.toml) — the package directory itself
+    # always exists, so it can't distinguish site-packages installs.
+    repo_root = Path(__file__).resolve().parents[2]
+    if (repo_root / ".git").exists() or (repo_root / "pyproject.toml").exists():
+        default = repo_root / ".jaxcache"
+    else:
         default = Path.home() / ".cache" / "hyperres" / "jaxcache"
     d = Path(cache_dir
              or os.environ.get("HYPERRES_COMPILE_CACHE_DIR")
              or default)
-    d.mkdir(parents=True, exist_ok=True)
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+    except OSError:
+        # non-writable location (system install): degrade to no
+        # persistent cache rather than crashing the caller
+        return None
     jax.config.update("jax_compilation_cache_dir", str(d))
     # cache every program regardless of size, and anything that took
     # more than a second to compile (the tunnel's floor is far above)

@@ -299,3 +299,86 @@ def test_up_layout_cmajor_matches_cminor(rng):
             assert d.max() < 0.05, method
         else:
             assert d.max() <= 5e-6, (method, d.max())
+
+
+def _consistent_scene(rng, h60=18, w60=24, n_bands=48):
+    """EMIT cube and 10 m S2 stack viewing the SAME world, so the
+    bench-style pipeline-tier accuracy comparison is near-exact."""
+    from hyperres.core.crs import CRS
+    from hyperres.core.grid import Grid
+    from hyperres.testing.scenes import emit_wavelength_grid
+
+    wl, good = emit_wavelength_grid(n_bands)
+    utm = CRS.utm(33, True)
+    emit_grid = Grid(utm, 399960.0, 5800020.0, 60.0, 60.0, w60, h60)
+    s2_grid = Grid(utm, 399960.0, 5800020.0, 10.0, 10.0, w60 * 6, h60 * 6)
+    yy = np.linspace(0, 1, h60, dtype=np.float32)[:, None]
+    xx = np.linspace(0, 1, w60, dtype=np.float32)[None, :]
+    base = 0.2 + 0.6 * (0.5 * yy + 0.3 * xx)
+    spec = (0.5 + 0.5 * rng.random(n_bands)).astype(np.float32)
+    cube = (base[..., None] * spec
+            + 0.005 * rng.random((h60, w60, n_bands))).astype(np.float32)
+    # 10 m S2: the same 60 m world, block-replicated (box-average
+    # downsample recovers it exactly), per-channel gains
+    s2rgb = np.stack(
+        [np.repeat(np.repeat(base, 6, 0), 6, 1) * c
+         for c in (0.9, 1.0, 1.1)], axis=-1).astype(np.float32)
+    return emit_grid, s2_grid, wl, good, cube, s2rgb
+
+
+def test_reference_target_audit(rng):
+    """s2_reference_10m builds the method-ideal target in the plan's
+    own stretched space — the bench.py accuracy gate contract: fused
+    vs coeffs-mapped target is near-exact on a consistent-world
+    scene."""
+    import jax.numpy as jnp
+    from hyperres.core.config import OTConfig, PolyFusionConfig
+    from hyperres.fusion.fused import FusedFusionPlan
+    from hyperres.kernels.lstsq import polyval_channels
+
+    emit_grid, s2_grid, wl, good, cube, s2rgb = _consistent_scene(rng)
+    plan = FusedFusionPlan(
+        emit_grid, s2_grid, wl, good,
+        config=PolyFusionConfig(degree=2,
+                                ot=OTConfig(n_samples=128,
+                                            num_itermax=50)))
+    out = plan(jnp.asarray(cube), jnp.asarray(s2rgb))
+    target = np.asarray(plan.s2_reference_10m(
+        jnp.asarray(cube), jnp.asarray(s2rgb)))
+    fused = np.asarray(out["fused_10m"])
+    assert target.shape == fused.shape
+    both = np.isfinite(fused).all(-1) & np.isfinite(target).all(-1)
+    assert both.mean() > 0.9
+    mapped = np.clip(np.asarray(polyval_channels(
+        out["coeffs"], jnp.nan_to_num(jnp.asarray(target)))), 0.0, 1.0)
+    mse = float(((fused - mapped)[both] ** 2).mean())
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    # bench.py gates the full-scale run at 50 dB; this noise-scaled
+    # miniature must clear it with margin
+    assert psnr > 45.0, psnr
+
+
+def test_explicit_srf_override_and_warning(rng, monkeypatch, tmp_path):
+    """srf= bypasses the resolver (no parametric warning); building the
+    plan through the resolver on a parametric-only host warns loudly
+    (VERDICT r3 item 4)."""
+    import warnings
+
+    import pytest as _pytest
+
+    from hyperres.core.config import OTConfig, PolyFusionConfig
+    from hyperres.fusion.fused import FusedFusionPlan
+    from hyperres.spectral import builtin_srf
+
+    monkeypatch.setenv("HYPERRES_SRF_CACHE", str(tmp_path / "none"))
+    monkeypatch.setenv("HYPERRES_SRF_SOURCE", "parametric")
+    emit_grid, s2_grid, wl, good, cube, s2rgb = _consistent_scene(rng)
+    cfg = PolyFusionConfig(degree=2, ot=OTConfig(n_samples=64,
+                                                 num_itermax=10))
+    srf = builtin_srf("S2A", bands=["B2", "B3", "B4"])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        FusedFusionPlan(emit_grid, s2_grid, wl, good, config=cfg,
+                        srf=srf)
+    with _pytest.warns(UserWarning, match="PARAMETRIC"):
+        FusedFusionPlan(emit_grid, s2_grid, wl, good, config=cfg)

@@ -113,6 +113,36 @@ def test_parametric_override(tmp_path, monkeypatch):
     assert measured_srf("S2B", bands=["B2"]) is None
 
 
+def test_parametric_warning_fires(tmp_path, monkeypatch):
+    """VERDICT r3 item 4: fuse-time code must warn loudly when SRF
+    synthesis would run on the unmeasured parametric model."""
+    from hyperres.spectral import warn_if_parametric_srf
+
+    monkeypatch.setenv("HYPERRES_SRF_CACHE", str(tmp_path / "empty"))
+    monkeypatch.setenv("HYPERRES_SRF_SOURCE", "parametric")
+    with pytest.warns(UserWarning, match="PARAMETRIC"):
+        src = warn_if_parametric_srf("S2A", context="fusion")
+    assert src == "parametric"
+
+
+def test_parametric_warning_silent_with_measured(tmp_path, monkeypatch):
+    """No warning once measured tables are imported (or an explicit srf
+    dict bypasses the resolver in the fused plan)."""
+    import warnings
+
+    from hyperres.spectral import warn_if_parametric_srf
+
+    monkeypatch.setenv("HYPERRES_SRF_CACHE", str(tmp_path / "cache"))
+    monkeypatch.delenv("HYPERRES_SRF_SOURCE", raising=False)
+    csv = tmp_path / "sheet.csv"
+    _write_sheet_csv(csv, builtin_srf("S2A"))
+    import_srf_tables(csv, platform="S2A", dest="user")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        src = warn_if_parametric_srf("S2A", context="fusion")
+    assert src.startswith("measured-cache:")
+
+
 def test_cli_srf_import(tmp_path, monkeypatch, capsys):
     from hyperres.cli import main
 
