@@ -716,40 +716,41 @@ def pallas_sr_predict_u16(X: jax.Array, valid: jax.Array,
     degree = len(selectors)
     RT = tile_rows
     n_pad = _round_up(n, RT)
-    bx_pad = _round_up(bx + 1, 8)
     f_pad = _round_up(f, 128)
     by_pad = _round_up(by, 128)
     if n_pad != n:
         X = jnp.pad(X, ((0, n_pad - n), (0, 0)))
         valid = jnp.pad(valid, (0, n_pad - n))
-    # X_ext layout: col 0 = the constant-one factor, cols 1..bx = bands
-    mean_p = jnp.zeros((1, bx_pad), jnp.float32).at[0, 1:bx + 1].set(
-        x_mean.astype(jnp.float32))
-    inv_std_p = jnp.zeros((1, bx_pad), jnp.float32).at[0, 1:bx + 1].set(
-        1.0 / x_std.astype(jnp.float32))
-    # one-hot: col 0 of X_ext must come out as exactly 1 after the
-    # (x - mean) * inv_std transform -> encode via mean=-1, inv_std=1
-    mean_p = mean_p.at[0, 0].set(-1.0)
-    inv_std_p = inv_std_p.at[0, 0].set(1.0)
-    sels = [jnp.zeros((bx_pad, f_pad), jnp.float32)
-            .at[:s.shape[0], :f].set(s.astype(jnp.float32))
+    # X is consumed AS-IS (no (N, bx_pad) extended copy: at granule
+    # scale that materialised an extra 5.4 GB in HBM next to the
+    # 3.4 GB input and OOMed a 16 GB chip). The constant-one monomial
+    # factor is folded into a selector split instead:
+    #   dot([1, xs], S_d) = S_d[0, :] + dot(xs, S_d[1:, :])
+    mean_p = x_mean.astype(jnp.float32).reshape(1, bx)
+    inv_std_p = (1.0 / x_std.astype(jnp.float32)).reshape(1, bx)
+    sel0 = [jnp.zeros((1, f_pad), jnp.float32)
+            .at[0, :f].set(s[0].astype(jnp.float32))
+            for s in selectors]
+    sel1 = [jnp.zeros((bx, f_pad), jnp.float32)
+            .at[:, :f].set(s[1:bx + 1].astype(jnp.float32))
             for s in selectors]
     W_p = jnp.zeros((f_pad, by_pad), jnp.float32).at[:f, :by].set(
         W.astype(jnp.float32))
     ic_p = jnp.zeros((1, by_pad), jnp.float32).at[0, :by].set(
         intercept.astype(jnp.float32))
-    Xp = jnp.zeros((n_pad, bx_pad), jnp.float32).at[:, 1:bx + 1].set(X)
     vp = valid.astype(jnp.float32)[:, None]
 
     def kernel(x_ref, v_ref, m_ref, s_ref, w_ref, i_ref, *rest):
-        sel_refs = rest[:degree]
-        o_ref = rest[degree]
-        xs = (x_ref[...] - m_ref[...]) * s_ref[...]   # (RT, bx_pad)
-        F_blk = jnp.dot(xs, sel_refs[0][...],
-                        preferred_element_type=jnp.float32)
+        sel0_refs = rest[:degree]
+        sel1_refs = rest[degree:2 * degree]
+        o_ref = rest[2 * degree]
+        xs = (x_ref[...] - m_ref[...]) * s_ref[...]   # (RT, bx)
+        F_blk = sel0_refs[0][...] + jnp.dot(
+            xs, sel1_refs[0][...], preferred_element_type=jnp.float32)
         for d in range(1, degree):
-            F_blk = F_blk * jnp.dot(xs, sel_refs[d][...],
-                                    preferred_element_type=jnp.float32)
+            F_blk = F_blk * (sel0_refs[d][...] + jnp.dot(
+                xs, sel1_refs[d][...],
+                preferred_element_type=jnp.float32))
         z = jnp.dot(F_blk, w_ref[...],
                     preferred_element_type=jnp.float32) + i_ref[...]
         # slice the lane padding off BEFORE the store: the HBM output
@@ -766,16 +767,18 @@ def pallas_sr_predict_u16(X: jax.Array, valid: jax.Array,
         out_shape=jax.ShapeDtypeStruct((n_pad, by), jnp.uint16),
         grid=(n_pad // RT,),
         in_specs=[
-            pl.BlockSpec((RT, bx_pad), lambda i: (i, 0)),
+            pl.BlockSpec((RT, bx), lambda i: (i, 0)),
             pl.BlockSpec((RT, 1), lambda i: (i, 0)),
-            pl.BlockSpec((1, bx_pad), lambda i: (0, 0)),
-            pl.BlockSpec((1, bx_pad), lambda i: (0, 0)),
+            pl.BlockSpec((1, bx), lambda i: (0, 0)),
+            pl.BlockSpec((1, bx), lambda i: (0, 0)),
             pl.BlockSpec((f_pad, by_pad), lambda i: (0, 0)),
             pl.BlockSpec((1, by_pad), lambda i: (0, 0)),
-        ] + [pl.BlockSpec((bx_pad, f_pad), lambda i: (0, 0))
+        ] + [pl.BlockSpec((1, f_pad), lambda i: (0, 0))
+             for _ in range(degree)]
+          + [pl.BlockSpec((bx, f_pad), lambda i: (0, 0))
              for _ in range(degree)],
         out_specs=pl.BlockSpec((RT, by), lambda i: (i, 0)),
         compiler_params=_banded_compiler_params(),
         interpret=interpret,
-    )(Xp, vp, mean_p, inv_std_p, W_p, ic_p, *sels)
+    )(X, vp, mean_p, inv_std_p, W_p, ic_p, *sel0, *sel1)
     return out[:n]

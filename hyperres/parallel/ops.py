@@ -437,3 +437,113 @@ def sharded_sr_predict_u16(model: RidgeSpectralSR, X, valid, mesh: Mesh,
     run = shard_map(local, mesh=mesh, in_specs=(P(axis), P(axis)),
                     out_specs=P(axis), check_vma=False)
     return run(jnp.asarray(X, jnp.float32), jnp.asarray(valid))
+
+
+# ---------------------------------------------------------------------------
+# 2-axis mesh: row-sharded two-pass warp x band-sharded SRF synthesis
+# ---------------------------------------------------------------------------
+
+def sharded_orthowarp_srf_2d(raw, glt_flat_idx, glt_valid, rows, cols,
+                             cstar, weights_bs, mesh: Mesh,
+                             row_axis: str = "row",
+                             band_axis: str = "band",
+                             method: str = "cubic",
+                             fill: float = -9999.0, halo: int = 32,
+                             precision: str = "high"):
+    """GLT ortho-warp + SRF band synthesis on a 2-D (row x band) mesh —
+    proof that the framework's two production shardings COMPOSE: the
+    spatial decomposition of :func:`sharded_orthowarp_two_pass`
+    (ppermute halo exchange along ``row_axis``) runs simultaneously
+    with the spectral decomposition of :func:`sharded_srf_synthesize`
+    (psum contraction along ``band_axis``). Each (i, j) chip gathers +
+    warps only its scanline block of its band slice, then contracts it
+    against its slice of the SRF weight matrix; one psum over
+    ``band_axis`` assembles the (Hd, Wd, S) pseudo-S2 product, left
+    row-sharded for downstream stages.
+
+    raw (Hr, Wr, B) with B divisible by the band axis; the spatial
+    fields follow :func:`sharded_orthowarp_two_pass`'s divisibility /
+    halo contract on ``row_axis``. Returns the synthesized (Hd, Wd, S)
+    stack (fill-invalid pixels contain garbage exactly like the
+    single-chip ``srf_synthesize`` on a fill-carrying cube — mask with
+    the warped band-0 validity downstream, _fusion_core semantics).
+    """
+    from ..kernels.warp import _two_pass_pass1, _two_pass_pass2
+
+    n = mesh.shape[row_axis]
+    nb = mesh.shape[band_axis]
+    ho, wo = np.asarray(glt_flat_idx).shape
+    hd, wd = np.asarray(rows).shape
+    b_total = np.asarray(raw).shape[-1]
+    if ho % n or hd % n:
+        raise ValueError(f"source height {ho} and destination height "
+                         f"{hd} must divide the '{row_axis}' axis {n}")
+    if b_total % nb:
+        raise ValueError(f"band count {b_total} must divide the "
+                         f"'{band_axis}' axis {nb}")
+    if halo > ho // n:
+        raise ValueError(f"halo {halo} exceeds the per-shard scanline "
+                         f"count {ho // n}")
+    ho_l, hd_l = ho // n, hd // n
+    radius = 2.0 if method == "cubic" else 1.0
+    rows_np = np.asarray(rows)
+    for i in range(n):
+        blk = rows_np[i * hd_l:(i + 1) * hd_l]
+        lo = np.floor(blk.min() - radius)
+        hi = np.ceil(blk.max() + radius)
+        if lo < i * ho_l - halo or hi > (i + 1) * ho_l + halo:
+            raise ValueError(
+                f"destination shard {i} needs scanlines [{lo}, {hi}] "
+                f"outside its halo window; increase halo")
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[precision]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, band_axis), P(row_axis),
+                       P(row_axis), P(row_axis), P(row_axis),
+                       P(row_axis), P(band_axis, None)),
+             out_specs=P(row_axis))
+    def run(raw_s, gf_s, gv_s, rows_s, cols_s, cstar_s, w_s):
+        idx = jax.lax.axis_index(row_axis)
+        b = raw_s.shape[-1]          # local band slice
+        raw_flat = raw_s.reshape(-1, b)
+        v = jnp.take(raw_flat, gf_s.reshape(-1),
+                     axis=0).reshape(gf_s.shape + (b,))
+        validf = gv_s.astype(jnp.float32)[..., None]
+        src_ext = jnp.concatenate([v * validf, validf], axis=-1)
+        h_t = _two_pass_pass1(src_ext, cstar_s, wd, method,
+                              min(64, ho_l), prec)
+        fwd = [(j, (j + 1) % n) for j in range(n)]
+        bwd = [(j, (j - 1) % n) for j in range(n)]
+        from_prev = jax.lax.ppermute(h_t[:, -halo:], row_axis, fwd)
+        from_next = jax.lax.ppermute(h_t[:, :halo], row_axis, bwd)
+        h_ext = jnp.concatenate([from_prev, h_t, from_next], axis=1)
+        offset = (idx * ho_l - halo).astype(jnp.float32)
+        rows_local = rows_s - offset
+        m_global = (jnp.arange(ho_l + 2 * halo, dtype=jnp.float32)
+                    + offset)
+        m_valid = ((m_global >= 0) & (m_global < ho)
+                   & (m_global >= (idx - 1) * ho_l)
+                   & (m_global < (idx + 2) * ho_l)).astype(jnp.float32)
+        out_ext = _two_pass_pass2(h_ext, rows_local, method,
+                                  min(64, hd_l), prec, m_valid=m_valid)
+        den = out_ext[..., -1:]
+        good = jnp.abs(den) > 1e-6
+        res = jnp.where(good,
+                        out_ext[..., :b] / jnp.where(good, den, 1.0),
+                        jnp.asarray(fill, jnp.float32))
+        centre_in = ((rows_s >= -0.5) & (rows_s <= ho - 0.5)
+                     & (cols_s >= -0.5)
+                     & (cols_s <= wo - 0.5))[..., None]
+        res = jnp.where(centre_in, res, jnp.asarray(fill, jnp.float32))
+        # band-sharded SRF contraction: psum assembles the synthesis
+        part = jnp.dot(res.reshape(-1, b), w_s,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.psum(part.reshape(hd_l, wd, -1), band_axis)
+
+    return run(jnp.asarray(raw, jnp.float32), jnp.asarray(glt_flat_idx),
+               jnp.asarray(glt_valid), jnp.asarray(rows),
+               jnp.asarray(cols), jnp.asarray(cstar),
+               jnp.asarray(weights_bs, jnp.float32))

@@ -1,9 +1,17 @@
 """Multi-device SPMD overhead/scaling sweep on a virtual CPU mesh.
 
-Runs the two production SPMD programs — the sharded two-pass scanline
-orthowarp and the data-parallel ridge training step — at a FIXED total
-problem size over 1/2/4/8 virtual CPU devices and reports post-compile
-wall-clock per step.
+Runs the production SPMD programs — the sharded two-pass scanline
+orthowarp, the data-parallel ridge training step, and (n >= 4) the
+2-axis row x band warp+SRF program — at a FIXED total problem size over
+1/2/4/8 virtual CPU devices and reports:
+
+- post-compile wall-clock per step (partition efficiency
+  = t(1) / t(n): 1.0 means the decomposition adds zero overhead at
+  constant work on this single-core host),
+- COLLECTIVE BYTES per step, extracted from the compiled HLO
+  (all-reduce / all-gather / collective-permute / reduce-scatter
+  output bytes summed) — the structural cost that WOULD ride the ICI
+  on real hardware.
 
 Read the result for what this environment can measure: the driver
 provides one real TPU chip, and this host exposes a single CPU core, so
@@ -28,7 +36,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
-import os, sys, time
+import os, re, sys, time
 n = int(sys.argv[1])
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -42,11 +50,31 @@ from hyperres.core.config import RidgeSRConfig
 from hyperres.fusion import RidgeSpectralSR
 from hyperres.kernels.glt import prepare_glt
 from hyperres.kernels.warp import scanline_cstar
-from hyperres.parallel import make_mesh, sharded_orthowarp_two_pass
+from hyperres.parallel import (make_mesh, sharded_orthowarp_two_pass,
+                               sharded_orthowarp_srf_2d)
 from hyperres.parallel.ops import data_parallel_ridge_fit
 
 rng = np.random.default_rng(0)
 mesh = make_mesh((n,), ("data",), devices=jax.devices()[:n])
+
+_DTYPE_BYTES = {"f32": 4, "f16": 2, "bf16": 2, "f64": 8, "s32": 4,
+                "u32": 4, "s8": 1, "u8": 1, "pred": 1, "u16": 2,
+                "s16": 2}
+_COLL = re.compile(
+    r"= (\w+)\[([\d,]*)\][^=]*?"
+    r"(all-reduce|all-gather|collective-permute|reduce-scatter)")
+
+def collective_bytes(jitted, *args):
+    txt = jitted.lower(*args).compile().as_text()
+    total, counts = 0, {}
+    for dt, shape, op in _COLL.findall(txt):
+        elems = 1
+        for d in shape.split(","):
+            if d:
+                elems *= int(d)
+        total += elems * _DTYPE_BYTES.get(dt, 4)
+        counts[op] = counts.get(op, 0) + 1
+    return total, counts
 
 def timeit(fn, reps=3):
     fn()  # compile + warm
@@ -78,6 +106,9 @@ def warp_step():
     jax.block_until_ready(out)
 
 t_warp = timeit(warp_step)
+warp_jit = jax.jit(lambda: sharded_orthowarp_two_pass(
+    raw, flat_idx, vmask, wrows, wcols, cstar, mesh, halo=48))
+warp_cb, warp_ops = collective_bytes(warp_jit)
 
 # ---- data-parallel ridge fit: fixed total 65536 x 10 -> 32 ----
 N, bx, by = 1 << 16, 10, 32
@@ -92,9 +123,39 @@ def fit_step():
     jax.block_until_ready(params.W)
 
 t_fit = timeit(fit_step)
-print(json.dumps({"n_devices": n, "orthowarp_s": round(t_warp, 4),
-                  "ridge_fit_s": round(t_fit, 4)}))
-""".replace("json.dumps", "__import__('json').dumps")
+fit_jit = jax.jit(
+    lambda: data_parallel_ridge_fit(model, Xd, Yd, mesh).W)
+fit_cb, fit_ops = collective_bytes(fit_jit)
+
+rec = {"n_devices": n, "orthowarp_s": round(t_warp, 4),
+       "orthowarp_collective_bytes": warp_cb,
+       "orthowarp_collectives": warp_ops,
+       "ridge_fit_s": round(t_fit, 4),
+       "ridge_fit_collective_bytes": fit_cb,
+       "ridge_fit_collectives": fit_ops}
+
+# ---- 2-axis (row x band) warp + SRF: fixed total, n >= 4 ----
+if n >= 4:
+    mesh2 = make_mesh((n // 2, 2), ("row", "band"),
+                      devices=jax.devices()[:n])
+    Wsrf = rng.random((nb, 3), dtype=np.float64).astype(np.float32)
+
+    def warp2_step():
+        out = sharded_orthowarp_srf_2d(rawd, fi, vm, wrd, wcd, csd,
+                                       jnp.asarray(Wsrf), mesh2,
+                                       halo=96)
+        jax.block_until_ready(out)
+
+    rec["warp_srf_2d_s"] = round(timeit(warp2_step), 4)
+    w2_jit = jax.jit(lambda: sharded_orthowarp_srf_2d(
+        raw, flat_idx, vmask, wrows, wcols, cstar, Wsrf, mesh2,
+        halo=96))
+    cb2, ops2 = collective_bytes(w2_jit)
+    rec["warp_srf_2d_collective_bytes"] = cb2
+    rec["warp_srf_2d_collectives"] = ops2
+
+print(__import__('json').dumps(rec))
+"""
 
 
 def main():

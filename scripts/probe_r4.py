@@ -94,15 +94,22 @@ def main():
         q.block_until_ready()
         return q
 
-    # parity first (device-side compare; no multi-GB readback)
-    qp = run_pallas()
-    qx = run_xla()
+    # parity on an 8M-row slice first (holding BOTH full-scale u16
+    # outputs next to the 3.4 GB input would exceed the 16 GB HBM)
+    n_par = min(8 * batch, n_pad)
+    Xs = Xj[:n_par]
+    vs = vj[:n_par]
+    qp = pallas_sr_predict_u16(Xs, vs, p.x_mean, p.x_std, selsj,
+                               p.W, p.intercept)
+    qx = model._predict_quant_batches(p, Xs, vs, batch)
     eq = jax.jit(lambda a, b: (jnp.mean((a == b).all(-1)),
                                jnp.max(jnp.abs(a.astype(jnp.int32)
                                                - b.astype(jnp.int32)))))
     frac_eq, max_dq = (float(x) for x in eq(qp, qx))
     qp.delete()
     qx.delete()
+    Xs.delete()
+    vs.delete()
     t_pallas = timeit(lambda: run_pallas().delete())
     t_xla = timeit(lambda: run_xla().delete())
     res["sr_predict"] = {

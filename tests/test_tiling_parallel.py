@@ -482,3 +482,51 @@ def test_sharded_sr_predict_u16(eight_devices, rng):
                                            engine="pallas"))
     np.testing.assert_array_equal(qp == 65535, q == 65535)
     assert np.abs(qp.astype(np.int32) - q.astype(np.int32)).max() <= 1
+
+
+def test_sharded_orthowarp_srf_2d_matches_single(eight_devices, rng):
+    """2-axis (row x band) mesh: the ppermute-halo spatial sharding and
+    the psum spectral sharding COMPOSE in one program and match the
+    single-device warp -> SRF synthesis chain (round-4 VERDICT item 6).
+    Both (4, 2) and (2, 4) mesh shapes."""
+    import jax.numpy as jnp
+
+    from hyperres.kernels.glt import prepare_glt
+    from hyperres.kernels.srf import srf_synthesize
+    from hyperres.kernels.warp import orthowarp_two_pass, scanline_cstar
+    from hyperres.parallel import make_mesh, sharded_orthowarp_srf_2d
+
+    raw = rng.random((40, 44, 8)).astype(np.float32)
+    ho, wo = 64, 48
+    hd, wd = 64, 50
+    glt = np.zeros((ho, wo, 2), dtype=np.int32)
+    valid = rng.random((ho, wo)) > 0.2
+    glt[..., 0] = np.where(valid, rng.integers(1, 45, (ho, wo)), 0)
+    glt[..., 1] = np.where(valid, rng.integers(1, 41, (ho, wo)), 0)
+    flat_idx, vmask = prepare_glt(glt, (40, 44))
+    r = np.arange(hd, dtype=np.float32)[:, None]
+    j = np.arange(wd, dtype=np.float32)[None, :]
+    rows = (r * (ho / hd) + 0.003 * j * r / hd + 0.2).astype(np.float32)
+    cols = (j * (wo / wd) + 0.002 * r - 0.1).astype(np.float32)
+    cstar = scanline_cstar(rows, cols, ho)
+    W = rng.random((8, 3)).astype(np.float32)  # 8 bands -> 3 pseudo-S2
+
+    cube = orthowarp_two_pass(
+        jnp.asarray(raw), jnp.asarray(flat_idx), jnp.asarray(vmask),
+        jnp.asarray(rows), jnp.asarray(cols), jnp.asarray(cstar),
+        method="cubic", block_rows_src=8, block_rows_dst=8)
+    want = np.asarray(srf_synthesize(cube, jnp.asarray(W)))
+    ok = np.asarray(cube[..., 0]) != -9999.0
+
+    for shape, names in (((4, 2), ("row", "band")),
+                         ((2, 4), ("row", "band"))):
+        mesh = make_mesh(shape, names)
+        got = np.asarray(sharded_orthowarp_srf_2d(
+            raw, flat_idx, vmask, rows, cols, cstar, W, mesh, halo=8))
+        assert got.shape == want.shape
+        d = np.abs(got[ok] - want[ok])
+        # a marginal-validity pixel (den ~ the 1e-6 threshold) can flip
+        # between the different block-summation orders — bound the
+        # count; everything else must agree to matmul precision
+        assert (d > 5e-4).mean() < 1e-3, (shape, d.max())
+        assert np.percentile(d, 99) < 5e-5, shape
