@@ -245,11 +245,25 @@ class RidgeSpectralSR:
             assert f == self.n_features
             p = self.params
             try:
+                # pad to the kernel's 8192-row tile HOST-side: letting
+                # the kernel jnp.pad a multi-GB uploaded array (and
+                # tail-slice the output) RESOURCE_EXHAUSTs the axon
+                # tunnel backend even with headroom (round-4 repro);
+                # a NumPy pad costs one host copy instead. Separate
+                # names: the XLA fallback below must see the original
+                # X/valid.
+                rt = 8192
+                n_rt = -(-n // rt) * rt
+                if n_rt != n:
+                    Xk = np.pad(X, ((0, n_rt - n), (0, 0)))
+                    vk = np.pad(valid, (0, n_rt - n))
+                else:
+                    Xk, vk = X, valid
                 q = pallas_sr_predict_u16(
-                    jnp.asarray(X), jnp.asarray(valid), p.x_mean,
+                    jnp.asarray(Xk), jnp.asarray(vk), p.x_mean,
                     p.x_std, tuple(jnp.asarray(sm) for sm in sels),
                     p.W, p.intercept)
-                return np.asarray(q).T.reshape(self.n_outputs, h, w)
+                return np.asarray(q)[:n].T.reshape(self.n_outputs, h, w)
             except Exception:
                 if not auto:
                     raise

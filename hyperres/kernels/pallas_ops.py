@@ -781,4 +781,7 @@ def pallas_sr_predict_u16(X: jax.Array, valid: jax.Array,
         compiler_params=_banded_compiler_params(),
         interpret=interpret,
     )(X, vp, mean_p, inv_std_p, W_p, ic_p, *sel0, *sel1)
-    return out[:n]
+    # skip the tail slice when nothing was padded: an eager slice of a
+    # large device array RESOURCE_EXHAUSTs on the axon tunnel backend
+    # (round-4 repro) and is a pointless copy everywhere else
+    return out if n_pad == n else out[:n]

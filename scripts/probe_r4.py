@@ -58,8 +58,12 @@ def main():
     w = max(64, int(9309 * args.scale))
     bx, by = 10, 32
     n = h * w
-    batch = 1_000_000
-    n_pad = -(-n // batch) * batch
+    # n_pad divisible by BOTH the XLA fori batch (512k) and the Pallas
+    # tile (8192): the kernel then neither pads nor tail-slices — an
+    # eager pad/slice of the 3.4 GB upload OOMs the axon backend
+    batch = 512_000
+    align = 8_192_000  # lcm(512000, 8192)
+    n_pad = -(-n // align) * align
     rng = np.random.default_rng(0)
     Xt = rng.random((200_000, bx)).astype(np.float32)
     Yt = np.clip(0.15 + 0.5 * Xt[:, :1] + 0.2 * Xt[:, 1:2]
@@ -77,7 +81,6 @@ def main():
     Xj = jax.device_put(X)
     vj = jax.device_put(valid)
     jax.block_until_ready((Xj, vj))
-    del X, valid
 
     p = model.params
     sels, f = poly_selector_matrices(bx, 3, False)
@@ -94,14 +97,20 @@ def main():
         q.block_until_ready()
         return q
 
-    # parity on an 8M-row slice first (holding BOTH full-scale u16
-    # outputs next to the 3.4 GB input would exceed the 16 GB HBM)
-    n_par = min(8 * batch, n_pad)
-    Xs = Xj[:n_par]
-    vs = vj[:n_par]
+    # parity on a FRESH 8M-row upload (holding BOTH full-scale u16
+    # outputs next to the 3.4 GB input would exceed the HBM budget;
+    # and a Pallas call on an eager SLICE of a large uploaded array
+    # RESOURCE_EXHAUSTs on the axon backend — isolated repro round 4 —
+    # so parity inputs are their own small device arrays)
+    n_par = min(8_192_000, n_pad)   # multiple of the 8192-row Pallas
+    #                 tile: no pad copy, no eager tail slice (both OOM
+    #                 the axon backend at multi-GB residency)
+    Xs = jax.device_put(X[:n_par])
+    vs = jax.device_put(valid[:n_par])
+    del X, valid
     qp = pallas_sr_predict_u16(Xs, vs, p.x_mean, p.x_std, selsj,
                                p.W, p.intercept)
-    qx = model._predict_quant_batches(p, Xs, vs, batch)
+    qx = model._predict_quant_batches(p, Xs, vs, 512_000)
     eq = jax.jit(lambda a, b: (jnp.mean((a == b).all(-1)),
                                jnp.max(jnp.abs(a.astype(jnp.int32)
                                                - b.astype(jnp.int32)))))
