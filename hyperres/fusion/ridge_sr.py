@@ -195,8 +195,15 @@ class RidgeSpectralSR:
         def body(i, out):
             x = jax.lax.dynamic_slice(X, (i * batch, 0), (batch, bx))
             v = jax.lax.dynamic_slice(valid, (i * batch,), (batch,))
-            z = (self.expand((x - params.x_mean) / params.x_std)
-                 @ params.W + params.intercept)
+            # HIGH precision: the default 1-pass-bf16 TPU matmul puts
+            # ~1e-2 error on the 285-feature contraction (measured
+            # round 4: up to 18 u16 steps vs the f32-exact Pallas
+            # kernel); 3-pass bf16 costs ~30 ms of a gather-bound
+            # ~2 s program and restores <=1-step parity
+            z = jnp.dot(
+                self.expand((x - params.x_mean) / params.x_std),
+                params.W, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH) + params.intercept
             y = sigmoid(z)
             q = jnp.clip(jnp.rint(y * 10000.0), 0.0, 65534.0).astype(
                 jnp.uint16)
@@ -214,56 +221,53 @@ class RidgeSpectralSR:
         program — the granule-scale 10 m product path (Spectral_matching
         cell 8 at full scale without per-batch host round-trips).
 
-        ``engine="pallas"`` (the "auto" choice on TPU) runs the fused
-        kernel (:func:`~hyperres.kernels.pallas_ops.
-        pallas_sr_predict_u16`): the monomial expansion becomes one-hot
-        selection matmuls computed in VMEM per tile with the ridge
-        weights resident, so the (N, F) feature matrix never exists in
-        HBM — the XLA path's minor-axis feature gathers were the whole
-        cost of the measured 1.97 s/85 Mpx product. "xla" keeps the
-        batched fori_loop program (the CPU default)."""
+        ``engine="pallas"`` (the "auto" choice on TPU, Bx <= 14) runs
+        the CHANNEL-MAJOR fused kernel (:func:`~hyperres.kernels.
+        pallas_ops.pallas_sr_predict_u16_cmajor`): the monomial
+        expansion becomes one-hot selection matmuls computed in VMEM
+        per column tile with the ridge weights resident, so the (F, N)
+        feature matrix never exists in HBM. Channel-major is not a
+        style choice: Mosaic operands materialise in (8, 128)-tiled
+        layout, so the row-major (N, Bx) form pads Bx -> 128 lanes —
+        12.8x the input bytes, measured infeasible at 85 Mpx on a
+        16 GB chip — while (16, N) / (By, N) tile exactly. "xla" keeps
+        the batched fori_loop program (the CPU default)."""
         assert self.params is not None, "fit() first"
         batch = batch_pixels or self.cfg.batch_pixels
         b, h, w = X_bhw.shape
-        X = np.asarray(X_bhw, dtype=np.float32).reshape(b, -1).T
-        valid = np.isfinite(X).all(axis=1)
-        if nodata is not None:
-            valid &= ~np.isclose(X, nodata).any(axis=1)
         n = h * w
-        # X is a VIEW chain onto the caller's cube when it is already
-        # f32 — nan_to_num must copy or we'd zero the caller's NaNs
-        X = np.nan_to_num(X, copy=True)
         auto = engine == "auto"
         if auto:
             engine = ("pallas" if jax.default_backend() == "tpu"
-                      else "xla")
+                      and b <= 14 else "xla")
         if engine == "pallas":
             from ..kernels.lstsq import poly_selector_matrices
-            from ..kernels.pallas_ops import pallas_sr_predict_u16
+            from ..kernels.pallas_ops import pallas_sr_predict_u16_cmajor
             sels, f = poly_selector_matrices(
                 self.n_inputs, self.cfg.degree, self.cfg.include_bias)
             assert f == self.n_features
             p = self.params
             try:
-                # pad to the kernel's 8192-row tile HOST-side: letting
-                # the kernel jnp.pad a multi-GB uploaded array (and
-                # tail-slice the output) RESOURCE_EXHAUSTs the axon
-                # tunnel backend even with headroom (round-4 repro);
-                # a NumPy pad costs one host copy instead. Separate
-                # names: the XLA fallback below must see the original
-                # X/valid.
-                rt = 8192
-                n_rt = -(-n // rt) * rt
-                if n_rt != n:
-                    Xk = np.pad(X, ((0, n_rt - n), (0, 0)))
-                    vk = np.pad(valid, (0, n_rt - n))
-                else:
-                    Xk, vk = X, valid
-                q = pallas_sr_predict_u16(
-                    jnp.asarray(Xk), jnp.asarray(vk), p.x_mean,
-                    p.x_std, tuple(jnp.asarray(sm) for sm in sels),
-                    p.W, p.intercept)
-                return np.asarray(q)[:n].T.reshape(self.n_outputs, h, w)
+                # (16, N) channel-major input, padded HOST-side to the
+                # column-tile multiple (device pads/slices of multi-GB
+                # uploads OOM the axon backend); row 15 carries the
+                # validity plane
+                flat = np.asarray(X_bhw, dtype=np.float32).reshape(b, -1)
+                v = np.isfinite(flat).all(axis=0)
+                if nodata is not None:
+                    v &= ~np.isclose(flat, nodata).any(axis=0)
+                ct = 8192
+                n_ct = -(-n // ct) * ct
+                X16 = np.zeros((16, n_ct), np.float32)
+                X16[:b, :n] = np.nan_to_num(flat)
+                X16[15, :n] = v
+                del flat, v
+                q = pallas_sr_predict_u16_cmajor(
+                    jnp.asarray(X16), p.x_mean, p.x_std,
+                    tuple(jnp.asarray(sm) for sm in sels),
+                    p.W, p.intercept, tile_cols=ct)
+                return np.asarray(q)[:, :n].reshape(
+                    self.n_outputs, h, w)
             except Exception:
                 if not auto:
                     raise
@@ -273,6 +277,13 @@ class RidgeSpectralSR:
                 warnings.warn("pallas SR predict failed to lower; "
                               "falling back to the XLA engine",
                               RuntimeWarning)
+        X = np.asarray(X_bhw, dtype=np.float32).reshape(b, -1).T
+        valid = np.isfinite(X).all(axis=1)
+        if nodata is not None:
+            valid &= ~np.isclose(X, nodata).any(axis=1)
+        # X is a VIEW chain onto the caller's cube when it is already
+        # f32 — nan_to_num must copy or we'd zero the caller's NaNs
+        X = np.nan_to_num(X, copy=True)
         n_pad = -(-n // batch) * batch
         if n_pad != n:
             X = np.pad(X, ((0, n_pad - n), (0, 0)))

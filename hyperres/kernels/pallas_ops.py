@@ -785,3 +785,102 @@ def pallas_sr_predict_u16(X: jax.Array, valid: jax.Array,
     # large device array RESOURCE_EXHAUSTs on the axon tunnel backend
     # (round-4 repro) and is a pointless copy everywhere else
     return out if n_pad == n else out[:n]
+
+
+def pallas_sr_predict_u16_cmajor(
+        X_cm: jax.Array, x_mean: jax.Array, x_std: jax.Array,
+        selectors: "tuple[jax.Array, ...]", W: jax.Array,
+        intercept: jax.Array, tile_cols: int = 8192,
+        interpret: Optional[bool] = None) -> jax.Array:
+    """Channel-major twin of :func:`pallas_sr_predict_u16` — the form
+    that is actually feasible at granule scale on TPU.
+
+    The row-major kernel takes (N, Bx) f32 / returns (N, By) u16 —
+    but Mosaic requires the (8, 128)-tiled layout on its operands, so
+    a narrow-minor (N, 10) input materialises 128-lane-padded:
+    **12.8x its logical bytes** (measured on hardware: an 85 Mpx
+    granule's 3.4 GB input demands a 25.2 GB copy —
+    `Allocation would exceed memory ... f32[49152000,10]{1,0:T(8,128)}`
+    — structurally impossible on a 16 GB chip). Channel-major arrays
+    tile exactly: input (16, N) f32 (16 sublanes = 2 tiles), output
+    (By=32, N) u16 (32 sublanes = 2 tiles of the u16 (16, 128) tiling),
+    zero padding waste — and (Bx, N) is the product convention's
+    natural layout anyway (predict_cube_u16 takes (Bx, H, W)).
+
+    ``X_cm`` is (16, N): rows 0..Bx-1 the standardisable band values
+    (finite; nan_to_num upstream), rows Bx..14 zero, **row 15 the
+    validity plane** (1.0 valid / 0.0 nodata). N must be a multiple of
+    ``tile_cols``. Returns (By, N) uint16 (65535 = nodata).
+
+    Math per column tile (transposed form of the row-major kernel):
+    xs = (x - mean) * inv_std; F = prod_d (S_d^T [1; xs]) via the
+    selector split (S0 column + S1^T @ xs, 3-pass-bf16 f32 matmuls);
+    z = W^T F + c; u16(sigmoid(z) * 1e4).
+    """
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = _on_cpu()
+    bxp, n = X_cm.shape
+    assert bxp == 16, "pad the band axis to 16 rows host-side"
+    f, by = W.shape
+    degree = len(selectors)
+    bx = selectors[0].shape[0] - 1  # rows: [const 1, band0..bandBx-1]
+    assert bx <= 14, "row 15 is reserved for the validity plane"
+    CT = tile_cols
+    if n % CT:
+        raise ValueError(f"N={n} must be a multiple of tile_cols={CT} "
+                         "(pad host-side; device pads of multi-GB "
+                         "uploads OOM the axon backend)")
+    f_pad = _round_up(f, 128)
+
+    # (16, 1) standardisation columns; identity on the validity row
+    mean_c = jnp.zeros((16, 1), jnp.float32).at[:bx, 0].set(
+        x_mean.astype(jnp.float32))
+    inv_std_c = jnp.ones((16, 1), jnp.float32).at[:bx, 0].set(
+        1.0 / x_std.astype(jnp.float32))
+    # selector split, transposed: F_d = S0_d^T (col) + S1_d^T @ xs
+    sel0 = [jnp.zeros((f_pad, 1), jnp.float32)
+            .at[:f, 0].set(s[0].astype(jnp.float32)) for s in selectors]
+    sel1 = [jnp.zeros((f_pad, 16), jnp.float32)
+            .at[:f, :bx].set(s[1:bx + 1].astype(jnp.float32).T)
+            for s in selectors]
+    Wt = jnp.zeros((by, f_pad), jnp.float32).at[:, :f].set(
+        W.astype(jnp.float32).T)
+    ic_c = intercept.astype(jnp.float32).reshape(by, 1)
+
+    def kernel(x_ref, m_ref, s_ref, w_ref, i_ref, *rest):
+        sel0_refs = rest[:degree]
+        sel1_refs = rest[degree:2 * degree]
+        o_ref = rest[2 * degree]
+        x = x_ref[...]                                  # (16, CT)
+        v = x[15:16, :]                                 # validity plane
+        xs = (x - m_ref[...]) * s_ref[...]
+        F = sel0_refs[0][...] + _dot_f32(sel1_refs[0][...], xs, "high")
+        for d in range(1, degree):
+            F = F * (sel0_refs[d][...]
+                     + _dot_f32(sel1_refs[d][...], xs, "high"))
+        z = _dot_f32(w_ref[...], F, "high") + i_ref[...]
+        y = 1.0 / (1.0 + jnp.exp(-z))
+        q = jnp.clip(jnp.rint(y * 10000.0), 0.0, 65534.0)
+        q16 = q.astype(jnp.int32).astype(jnp.uint16)
+        o_ref[...] = jnp.where(v > 0.0, q16, jnp.uint16(65535))
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((by, n), jnp.uint16),
+        grid=(n // CT,),
+        in_specs=[
+            pl.BlockSpec((16, CT), lambda i: (0, i)),
+            pl.BlockSpec((16, 1), lambda i: (0, 0)),
+            pl.BlockSpec((16, 1), lambda i: (0, 0)),
+            pl.BlockSpec((by, f_pad), lambda i: (0, 0)),
+            pl.BlockSpec((by, 1), lambda i: (0, 0)),
+        ] + [pl.BlockSpec((f_pad, 1), lambda i: (0, 0))
+             for _ in range(degree)]
+          + [pl.BlockSpec((f_pad, 16), lambda i: (0, 0))
+             for _ in range(degree)],
+        out_specs=pl.BlockSpec((by, CT), lambda i: (0, i)),
+        compiler_params=_banded_compiler_params(),
+        interpret=interpret,
+    )(X_cm, mean_c, inv_std_c, Wt, ic_c, *sel0, *sel1)

@@ -396,7 +396,11 @@ def sharded_sr_predict_u16(model: RidgeSpectralSR, X, valid, mesh: Mesh,
 
     X (N, Bx) f32 (finite), valid (N,) bool; N must divide the mesh
     axis size. ``engine``: "xla" expands/matmuls the whole shard in one
-    shot; "pallas" the fused VMEM kernel (TPU). Returns (N, By) uint16
+    shot; "pallas" the fused VMEM kernel — note that the row-major
+    Pallas form materialises (shard_N, Bx) 128-lane-padded (12.8x
+    bytes), so it is only appropriate for shards well under HBM scale;
+    the single-chip granule product path uses the channel-major kernel
+    instead (see ridge_sr.predict_cube_u16). Returns (N, By) uint16
     (65535 = nodata).
     """
     assert model.params is not None, "fit() first"

@@ -48,21 +48,22 @@ def main():
     log(f"devices: {jax.devices()}")
     res = {}
 
-    # ---- 1. SR predict engines at 85 Mpx ----
+    # ---- 1. SR predict engines at granule scale ----
     from hyperres.core.config import RidgeSRConfig
     from hyperres.fusion import RidgeSpectralSR
     from hyperres.kernels.lstsq import poly_selector_matrices
-    from hyperres.kernels.pallas_ops import pallas_sr_predict_u16
+    from hyperres.kernels.pallas_ops import pallas_sr_predict_u16_cmajor
 
     h = max(64, int(9140 * args.scale))
     w = max(64, int(9309 * args.scale))
     bx, by = 10, 32
     n = h * w
-    # n_pad divisible by BOTH the XLA fori batch (512k) and the Pallas
-    # tile (8192): the kernel then neither pads nor tail-slices — an
-    # eager pad/slice of the 3.4 GB upload OOMs the axon backend
+    # aligned to lcm(fori batch, pallas column tile): the kernels then
+    # neither pad nor tail-slice (device pads/slices of multi-GB
+    # uploads OOM the axon backend)
     batch = 512_000
-    align = 8_192_000  # lcm(512000, 8192)
+    ct = 8_192
+    align = 8_192_000  # lcm(512000, 16384)
     n_pad = -(-n // align) * align
     rng = np.random.default_rng(0)
     Xt = rng.random((200_000, bx)).astype(np.float32)
@@ -75,66 +76,76 @@ def main():
     jax.block_until_ready(model.params.W)
     log(f"SR model fitted; predicting {n / 1e6:.1f} Mpx")
 
-    X = rng.random((n_pad, bx), dtype=np.float32)
-    valid = np.ones(n_pad, dtype=bool)
-    valid[: n // 20] = False
-    Xj = jax.device_put(X)
-    vj = jax.device_put(valid)
-    jax.block_until_ready((Xj, vj))
-
     p = model.params
     sels, f = poly_selector_matrices(bx, 3, False)
     selsj = tuple(jnp.asarray(sm) for sm in sels)
 
+    Xh = rng.random((bx, n_pad), dtype=np.float32)   # channel-major host
+    vh = np.ones(n_pad, dtype=np.float32)
+    vh[: n // 20] = 0.0
+
+    def build_cm(n_rows):
+        X16 = np.zeros((16, n_rows), np.float32)
+        X16[:bx] = Xh[:, :n_rows]
+        X16[15] = vh[:n_rows]
+        return X16
+
+    # parity on an 8.2M-px slice (fresh small uploads)
+    n_par = min(align, n_pad)
+    Xs16 = jax.device_put(build_cm(n_par))
+    qp = pallas_sr_predict_u16_cmajor(Xs16, p.x_mean, p.x_std, selsj,
+                                      p.W, p.intercept, tile_cols=ct)
+    Xs = jax.device_put(np.ascontiguousarray(Xh[:, :n_par].T))
+    vs = jax.device_put(vh[:n_par].astype(bool))
+    qx = model._predict_quant_batches(p, Xs, vs, batch)
+    eq = jax.jit(lambda a, b: (jnp.mean((a == b).all(0)),
+                               jnp.max(jnp.abs(a.astype(jnp.int32)
+                                               - b.astype(jnp.int32)))))
+    frac_eq, max_dq = (float(x) for x in eq(qp, qx.T))
+    for arr in (qp, qx, Xs16, Xs, vs):
+        arr.delete()
+    log(f"parity ({n_par / 1e6:.1f} Mpx): cols equal {frac_eq:.4f}, "
+        f"max |dq| {max_dq}")
+
+    # timing: pallas cmajor (channel-major upload), then XLA
+    X16j = jax.device_put(build_cm(n_pad))
+    X16j.block_until_ready()
+
     def run_pallas():
-        q = pallas_sr_predict_u16(Xj, vj, p.x_mean, p.x_std, selsj,
-                                  p.W, p.intercept)
+        q = pallas_sr_predict_u16_cmajor(X16j, p.x_mean, p.x_std,
+                                         selsj, p.W, p.intercept,
+                                         tile_cols=ct)
         q.block_until_ready()
         return q
+
+    t_pallas = timeit(lambda: run_pallas().delete())
+    X16j.delete()
+    Xj = jax.device_put(np.ascontiguousarray(Xh.T))
+    vj = jax.device_put(vh.astype(bool))
+    jax.block_until_ready((Xj, vj))
+    del Xh, vh
 
     def run_xla():
         q = model._predict_quant_batches(p, Xj, vj, batch)
         q.block_until_ready()
         return q
 
-    # parity on a FRESH 8M-row upload (holding BOTH full-scale u16
-    # outputs next to the 3.4 GB input would exceed the HBM budget;
-    # and a Pallas call on an eager SLICE of a large uploaded array
-    # RESOURCE_EXHAUSTs on the axon backend — isolated repro round 4 —
-    # so parity inputs are their own small device arrays)
-    n_par = min(8_192_000, n_pad)   # multiple of the 8192-row Pallas
-    #                 tile: no pad copy, no eager tail slice (both OOM
-    #                 the axon backend at multi-GB residency)
-    Xs = jax.device_put(X[:n_par])
-    vs = jax.device_put(valid[:n_par])
-    del X, valid
-    qp = pallas_sr_predict_u16(Xs, vs, p.x_mean, p.x_std, selsj,
-                               p.W, p.intercept)
-    qx = model._predict_quant_batches(p, Xs, vs, 512_000)
-    eq = jax.jit(lambda a, b: (jnp.mean((a == b).all(-1)),
-                               jnp.max(jnp.abs(a.astype(jnp.int32)
-                                               - b.astype(jnp.int32)))))
-    frac_eq, max_dq = (float(x) for x in eq(qp, qx))
-    qp.delete()
-    qx.delete()
-    Xs.delete()
-    vs.delete()
-    t_pallas = timeit(lambda: run_pallas().delete())
     t_xla = timeit(lambda: run_xla().delete())
-    res["sr_predict"] = {
-        "mpx": round(n / 1e6, 1),
-        "pallas_s": round(t_pallas, 4),
-        "xla_s": round(t_xla, 4),
-        "speedup": round(t_xla / t_pallas, 2),
-        "pallas_px_per_s": round(n / t_pallas),
-        "rows_bitexact_frac": round(frac_eq, 6),
-        "max_dq_u16": max_dq,
-    }
-    log(f"SR predict: pallas {t_pallas:.3f}s vs xla {t_xla:.3f}s "
-        f"({t_xla / t_pallas:.1f}x); rows equal {frac_eq:.4f}, "
-        f"max |dq| {max_dq}")
     Xj.delete()
     vj.delete()
+    res["sr_predict"] = {
+        "mpx": round(n / 1e6, 1),
+        "mpx_timed": round(n_pad / 1e6, 1),
+        "pallas_cmajor_s": round(t_pallas, 4),
+        "xla_s": round(t_xla, 4),
+        "speedup": round(t_xla / t_pallas, 2),
+        "pallas_px_per_s": round(n_pad / t_pallas),
+        "cols_bitexact_frac": round(frac_eq, 6),
+        "max_dq_u16": max_dq,
+    }
+    log(f"SR predict: pallas-cmajor {t_pallas:.3f}s vs xla "
+        f"{t_xla:.3f}s ({t_xla / t_pallas:.1f}x) at {n_pad / 1e6:.0f} "
+        f"Mpx")
 
     # ---- 2. sampler top_k vs approx_max_k ----
     from hyperres.fusion.sampling import sample_valid_pixels_device
