@@ -112,7 +112,7 @@ def build_workload(scale: float = 1.0, warp_kernel: str = "two_pass",
         (raw_h, raw_w), scene["glt"], scene["wavelengths"],
         scene["good_mask"], s2_nodata=65535.0, s2_scale=1e-4,
         warp_kernel=warp_kernel,
-        up_layout=os.environ.get("HYPERRES_BENCH_UP_LAYOUT", "cminor"),
+        up_layout=os.environ.get("HYPERRES_BENCH_UP_LAYOUT", "auto"),
         config=config if config is not None else PolyFusionConfig())
     return dict(scene, plan=plan)
 
