@@ -320,15 +320,17 @@ def select_banded_group(cstar: np.ndarray, rows_t: np.ndarray,
     return None
 
 
-def _banded_compiler_params():
-    """Large window-sharing groups (32 x 384 x C window + concat
-    temporaries) push the kernels' scoped-VMEM stack past Mosaic's
-    16 MB default; raise the limit to 64 MB (v5e has 128 MB VMEM —
-    group 64 would need ~96 MB and is excluded from
-    BANDED_GROUP_CANDIDATES)."""
+def _banded_compiler_params(window_bytes: int = 0, out_bytes: int = 0):
+    """Large window-sharing groups (32 x 384 x C window) push the
+    kernels' scoped-VMEM stack past Mosaic's 16 MB default; raise the
+    limit to cover the double-buffered window + output blocks plus
+    weight/accumulator temporaries, floored at the measured-good 64 MB
+    and capped at v5e's 128 MB VMEM."""
     from jax.experimental.pallas import tpu as pltpu
 
-    return pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+    need = 2 * (window_bytes + out_bytes) + 16 * 1024 * 1024
+    limit = min(max(need, 64 * 1024 * 1024), 128 * 1024 * 1024)
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
 
 
 def _banded_profile(method: str):
@@ -348,25 +350,30 @@ def _banded_profile(method: str):
     raise ValueError(f"Unknown method {method!r}")
 
 
-def banded_spans_ok(pos: np.ndarray, group: Optional[int] = None) -> bool:
+def banded_spans_ok(pos: np.ndarray, group: Optional[int] = None,
+                    nblk: Optional[int] = None,
+                    dtile: Optional[int] = None) -> bool:
     """HOST feasibility check for the banded kernels: every destination
-    tile's source-position span must be <= 251 samples (window 384
-    minus one block of flooring slack minus the cubic support). True
-    for near-1:1 scanline warps (the EMIT ortho->UTM case); False for
-    strong down/upsampling, where the dense path or ``resample_to_grid``
-    applies.
+    tile's source-position span must be <= window minus one block of
+    flooring slack minus the cubic support (251 samples at the default
+    3 x 128 window). True for near-1:1 scanline warps (the EMIT
+    ortho->UTM case); False for strong down/upsampling, where the dense
+    path or ``resample_to_grid`` applies.
 
     ``group`` models the kernels' actual window sharing: both passes
-    select ONE source window per (group leading rows/cols x 128
-    destination samples) block — pass 1 per 8 scanlines, pass 2 per 8
-    output columns — so the span is taken over the whole (group, 128)
-    block, not a single row. ``pos`` is (R, D): R grouped in ``group``
-    chunks, D tiled by 128."""
+    select ONE source window per (group leading rows/cols x ``dtile``
+    destination samples) block, so the span is taken over the whole
+    (group, dtile) block, not a single row. ``pos`` is (R, D): R
+    grouped in ``group`` chunks, D tiled by ``dtile``. ``nblk``/
+    ``dtile`` must match the values given to
+    :func:`pallas_banded_two_pass`."""
     pos = np.asarray(pos, dtype=np.float64)
     if pos.ndim == 1:
         pos = pos[None, :]
     r, d = pos.shape[-2], pos.shape[-1]
-    dt = _BANDED_DTILE
+    dt = int(dtile if dtile is not None else _BANDED_DTILE)
+    nb = int(nblk if nblk is not None else _BANDED_NBLK)
+    max_span = nb * _BANDED_WBLK - _BANDED_WBLK - 5
     g = max(1, int(group if group is not None else _banded_group()))
     d_pad = _round_up(d, dt)
     r_pad = _round_up(r, g)
@@ -377,24 +384,30 @@ def banded_spans_ok(pos: np.ndarray, group: Optional[int] = None) -> bool:
     t = pos.reshape(pos.shape[:-2] + (r_pad // g, g, d_pad // dt, dt))
     with np.errstate(invalid="ignore"):
         span = np.nanmax(t, (-3, -1)) - np.nanmin(t, (-3, -1))
-    return bool(np.nanmax(np.nan_to_num(span)) <= 251.0)
+    return bool(np.nanmax(np.nan_to_num(span)) <= float(max_span))
 
 
-def _banded_pass1(src, pos, method, precision, interpret, group=None):
+def _banded_pass1(src, pos, method, precision, interpret, group=None,
+                  nblk=None, dtile=None):
     """Horizontal pass: out[n, d, c] = sum_s k(pos[n, d] - s) src[n, s, c]
-    contracting only a 384-sample window per (8 scanlines x 128 columns)
-    block — 8 rows share one scalar-prefetched window, which cuts the
-    grid to 1/8th of the per-scanline version (per-step dispatch
-    overhead dominated the pass at granule scale: ~20k steps of one
-    (128, 384)x(384, C) matmul each).
-    src (N, S, C), pos (N, D) -> (N_pad8, D_pad, C); padded rows carry
+    contracting only an NB x 128-sample window per (group scanlines x
+    DT columns) block — the group shares one scalar-prefetched window,
+    which cuts the grid to 1/group of the per-scanline version
+    (per-step dispatch overhead dominated the pass at granule scale:
+    ~20k steps of one (128, 384)x(384, C) matmul each). Wider DT tiles
+    amortize the window DMA over more destination columns (the window
+    overlap between adjacent tiles is the banded path's only source
+    re-read).
+    src (N, S, C), pos (N, D) -> (N_pad, D_pad, C); padded rows carry
     out-of-range positions so their outputs are exactly zero."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, s, c = src.shape
     d = pos.shape[1]
-    W, NB, DT = _BANDED_WBLK, _BANDED_NBLK, _BANDED_DTILE
+    W = _BANDED_WBLK
+    NB = int(nblk) if nblk else _BANDED_NBLK
+    DT = int(dtile) if dtile else _BANDED_DTILE
     RG = int(group) if group else _banded_group()
     s_pad = _round_up(max(s, NB * W), W)
     d_pad = _round_up(d, DT)
@@ -410,54 +423,66 @@ def _banded_pass1(src, pos, method, precision, interpret, group=None):
         0, s_pad // W - NB).astype(jnp.int32)
     profile = _banded_profile(method)
 
-    def kernel(st_ref, pos_ref, sA, sB, sC, o_ref):
+    def kernel(st_ref, pos_ref, *refs):
         i = pl.program_id(0)
         j = pl.program_id(1)
+        s_refs, o_ref = refs[:-1], refs[-1]
         s0 = (st_ref[i, j] * W).astype(jnp.float32)
         offs = jax.lax.broadcasted_iota(
             jnp.int32, (DT, NB * W), 1).astype(jnp.float32) + s0
-        win = jnp.concatenate([sA[...], sB[...], sC[...]],
-                              axis=1)  # (RG, 384, C)
+        win = jnp.concatenate([r[...] for r in s_refs],
+                              axis=1)  # (RG, NB*W, C)
         # precision here is "highest" or "default" only: the public
         # entry upgrades "high" to bit-exact f32 (these kernels are
         # DMA/scheduling-bound, exactness is free — see
-        # pallas_banded_two_pass)
+        # pallas_banded_two_pass). ONE (DT, NB*W) x (NB*W, C) dot per
+        # row: the kernels are bound by per-dot fixed cost (~2.5 us;
+        # measured, scripts/exp_banded_batch.py), so fewer, larger
+        # dots beat per-block accumulation (3x the dot count, +45%
+        # end-to-end).
         for k in range(RG):
-            w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
+            w = profile(pos_ref[k, :][:, None] - offs)  # (DT, NB*W)
             o_ref[k] = _dot_f32(w, win[k], precision)
+
+    def _spec(nb):
+        return pl.BlockSpec((RG, W, c),
+                            lambda i, j, st, nb=nb: (i, st[i, j] + nb, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // RG, d_pad // DT),
-        in_specs=[
-            pl.BlockSpec((RG, DT), lambda i, j, st: (i, j)),
-            pl.BlockSpec((RG, W, c), lambda i, j, st: (i, st[i, j], 0)),
-            pl.BlockSpec((RG, W, c),
-                         lambda i, j, st: (i, st[i, j] + 1, 0)),
-            pl.BlockSpec((RG, W, c),
-                         lambda i, j, st: (i, st[i, j] + 2, 0)),
-        ],
+        in_specs=[pl.BlockSpec((RG, DT), lambda i, j, st: (i, j))]
+        + [_spec(nb) for nb in range(NB)],
         out_specs=pl.BlockSpec((RG, DT, c), lambda i, j, st: (i, j, 0)),
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d_pad, c), jnp.float32),
-        compiler_params=_banded_compiler_params(),
-        interpret=interpret)(starts, pos, src, src, src)
+        compiler_params=_banded_compiler_params(
+            window_bytes=RG * NB * W * c * 4,
+            out_bytes=RG * DT * c * 4),
+        interpret=interpret)(starts, pos, *([src] * NB))
 
 
-def _banded_pass2(h, pos_t, method, precision, interpret, group=None):
+def _banded_pass2(h, pos_t, method, precision, interpret, group=None,
+                  nblk=None, dtile=None):
     """Vertical pass consuming pass 1's NATURAL layout (no transpose):
     h (S, M, C) with S the contraction (scanline) axis, pos_t (M, D) the
     per-column fractional scanline positions -> out (D_pad, M_pad, C).
     Columns are processed ``_banded_group()`` per block (one shared
-    window per group x 128-row tile)."""
+    window per group x DT-row tile).
+
+    The validity renormalisation deliberately stays OUTSIDE the kernel:
+    a fused divide/mask epilogue was measured 140 ms slower end-to-end
+    (lane-unaligned c-1 slicing per row block; see warp.py)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     s, m, c = h.shape
     d = pos_t.shape[1]
-    W, NB, DT = _BANDED_WBLK, _BANDED_NBLK, _BANDED_DTILE
+    W = _BANDED_WBLK
+    NB = int(nblk) if nblk else _BANDED_NBLK
+    DT = int(dtile) if dtile else _BANDED_DTILE
     G = int(group) if group else _banded_group()
     s_pad = _round_up(max(s, NB * W), W)
     d_pad = _round_up(d, DT)
@@ -476,43 +501,46 @@ def _banded_pass2(h, pos_t, method, precision, interpret, group=None):
         0, s_pad // W - NB).astype(jnp.int32)
     profile = _banded_profile(method)
 
-    def kernel(st_ref, pos_ref, hA, hB, hC, o_ref):
+    def kernel(st_ref, pos_ref, *refs):
         j = pl.program_id(0)
         i = pl.program_id(1)
+        h_refs, o_ref = refs[:-1], refs[-1]
         s0 = (st_ref[j, i] * W).astype(jnp.float32)
         offs = jax.lax.broadcasted_iota(
             jnp.int32, (DT, NB * W), 1).astype(jnp.float32) + s0
-        win = jnp.concatenate([hA[...], hB[...], hC[...]],
-                              axis=0)  # (384, G, C)
-        # "highest" or "default" only (see pass 1)
+        win = jnp.concatenate([r[...] for r in h_refs],
+                              axis=0)  # (NB*W, G, C)
+        # "highest" or "default" only; one dot per column (see pass 1)
         for k in range(G):
-            w = profile(pos_ref[k, :][:, None] - offs)  # (DT, 384)
+            w = profile(pos_ref[k, :][:, None] - offs)  # (DT, NB*W)
             o_ref[:, k, :] = _dot_f32(w, win[:, k, :], precision)
+
+    def _spec(nb):
+        return pl.BlockSpec((W, G, c),
+                            lambda j, i, st, nb=nb: (st[j, i] + nb, j, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(m_pad // G, d_pad // DT),
-        in_specs=[
-            pl.BlockSpec((G, DT), lambda j, i, st: (j, i)),
-            pl.BlockSpec((W, G, c), lambda j, i, st: (st[j, i], j, 0)),
-            pl.BlockSpec((W, G, c),
-                         lambda j, i, st: (st[j, i] + 1, j, 0)),
-            pl.BlockSpec((W, G, c),
-                         lambda j, i, st: (st[j, i] + 2, j, 0)),
-        ],
+        in_specs=([pl.BlockSpec((G, DT), lambda j, i, st: (j, i))]
+                  + [_spec(nb) for nb in range(NB)]),
         out_specs=pl.BlockSpec((DT, G, c), lambda j, i, st: (i, j, 0)),
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((d_pad, m_pad, c), jnp.float32),
-        compiler_params=_banded_compiler_params(),
-        interpret=interpret)(starts, pos_t, h, h, h)
+        compiler_params=_banded_compiler_params(
+            window_bytes=NB * W * G * c * 4,
+            out_bytes=DT * G * c * 4),
+        interpret=interpret)(starts, pos_t, *([h] * NB))
 
 
 def pallas_banded_two_pass(src_ext, rows, cstar, method: str = "cubic",
                            precision: str = "highest",
                            interpret: Optional[bool] = None,
-                           group: Optional[int] = None):
+                           group: Optional[int] = None,
+                           nblk: Optional[int] = None,
+                           dtile: Optional[int] = None):
     """Both scanline-warp passes as banded Pallas kernels: identical
     sampling positions to ``_two_pass_core`` but each destination tile
     contracts a 384-sample source window instead of the full axis
@@ -520,10 +548,20 @@ def pallas_banded_two_pass(src_ext, rows, cstar, method: str = "cubic",
     pass 1's natural layout so no multi-GB transposes materialise.
 
     Callers must verify feasibility on the host with
-    :func:`banded_spans_ok` at the SAME ``group`` (or pick one with
-    :func:`select_banded_group`) — tiles whose positions span more than
-    the window produce nodata, not garbage (their taps get zero weight
-    and the validity channel renormalisation marks them invalid).
+    :func:`banded_spans_ok` at the SAME ``group``/``nblk``/``dtile``
+    (or pick a group with :func:`select_banded_group`) — tiles whose
+    positions span more than the window produce nodata, not garbage
+    (their taps get zero weight and the validity channel
+    renormalisation marks them invalid).
+
+    ``nblk``/``dtile`` set the window width (nblk x 128 source
+    samples) and destination tile (dtile samples). The window overlap
+    between adjacent tiles is the banded path's only source re-read
+    (~nblk*128/dtile bytes DMA'd per output byte), so wider tiles
+    amortize DMA at the cost of more VMEM and a wider contraction;
+    see scripts/exp_banded_tile.py for the measured trade-off (the
+    default 3 x 128 window / 128-sample tile wins at EMIT geometry:
+    wider tiles scale the per-dot cost with window width).
     """
     if interpret is None:
         interpret = _on_cpu()
@@ -536,10 +574,10 @@ def pallas_banded_two_pass(src_ext, rows, cstar, method: str = "cubic",
         # bound.
         precision = "highest"
     h = _banded_pass1(src_ext, cstar, method, precision, interpret,
-                      group=group)
+                      group=group, nblk=nblk, dtile=dtile)
     hd, wd = rows.shape
     out = _banded_pass2(h, jnp.transpose(rows), method, precision,
-                        interpret, group=group)
+                        interpret, group=group, nblk=nblk, dtile=dtile)
     return out[:hd, :wd]
 
 

@@ -903,12 +903,17 @@ def orthowarp_two_pass(raw: jax.Array, glt_flat_idx: jax.Array,
                                         precision=precision)
         out_ext = jnp.transpose(outT, (1, 0, 2))    # (Hd, Wd, C)
     elif backend == "pallas_banded":
-        # block-sparse scanline kernels: each 128-wide destination tile
-        # contracts a scalar-prefetch-selected 384-sample source window
+        # block-sparse scanline kernels: each destination tile
+        # contracts a scalar-prefetch-selected windowed source span
         # (~4-6x fewer FLOPs than the dense banded matmuls at granule
         # geometry) and pass 2 reads pass 1's natural layout — no
-        # multi-GB transposes. Feasibility (tile spans <= 251 samples)
-        # must be host-checked with pallas_ops.banded_spans_ok.
+        # multi-GB transposes. Feasibility (tile spans within the
+        # window) must be host-checked with pallas_ops.banded_spans_ok.
+        # The validity renormalisation stays OUTSIDE the kernel: a
+        # fused pass-2 epilogue was measured 140 ms SLOWER end-to-end
+        # (0.496 vs 0.353 s) — the lane-unaligned c=286 slice/divide
+        # per row block costs Mosaic far more than the one XLA
+        # elementwise HBM round trip it saves.
         from .pallas_ops import pallas_banded_two_pass
         out_ext = pallas_banded_two_pass(src_ext, rows, cstar,
                                          method=method,

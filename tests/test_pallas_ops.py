@@ -171,6 +171,37 @@ def test_banded_groups_agree(rng):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
+def test_banded_tile_geometries_agree(rng):
+    """Window/tile geometry (nblk window blocks x dtile destination
+    samples) only changes DMA scheduling, not taps: every feasible
+    geometry produces identical results, including ones whose window
+    spans more blocks than the default 3 and wider-than-128 tiles."""
+    import jax.numpy as jnp
+    from hyperres.kernels.pallas_ops import (
+        banded_spans_ok, pallas_banded_two_pass,
+    )
+    from hyperres.kernels.warp import scanline_cstar
+
+    ho, wo, c = 150, 600, 5
+    hd, wd = 140, 590
+    src = rng.random((ho, wo, c)).astype(np.float32)
+    r = np.arange(hd, dtype=np.float32)[:, None]
+    j = np.arange(wd, dtype=np.float32)[None, :]
+    rows = (r * (ho / hd) + 0.004 * j * r / hd + 0.3).astype(np.float32)
+    cols = (j * (wo / wd) + 0.003 * r - 0.2).astype(np.float32)
+    cstar = np.asarray(scanline_cstar(rows, cols, ho))
+    outs = []
+    for nblk, dtile, g in ((3, 128, 8), (4, 256, 8), (5, 384, 4)):
+        assert banded_spans_ok(cstar, group=g, nblk=nblk, dtile=dtile)
+        assert banded_spans_ok(rows.T, group=g, nblk=nblk, dtile=dtile)
+        outs.append(np.asarray(pallas_banded_two_pass(
+            jnp.asarray(src), jnp.asarray(rows), jnp.asarray(cstar),
+            method="cubic", precision="highest", group=g, nblk=nblk,
+            dtile=dtile)))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+
+
 def test_banded_high_upgrades_to_exact(rng):
     """The banded kernels are DMA-bound (measured), so precision='high'
     upgrades to the bit-exact full-f32 path — outputs identical to
