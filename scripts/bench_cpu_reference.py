@@ -18,10 +18,14 @@ generous stand-in):
 Usage: python scripts/bench_cpu_reference.py [scale]
 """
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 
 def cubic_kernel(t, a=-0.5):
@@ -187,11 +191,44 @@ def main():
 
     total = sum(timings.values())
     print(f"TOTAL CPU reference proxy: {total:.2f}s")
+
+    # Canonical host normalization: single-threaded NumPy throughput
+    # varies ~2.5x across hosts, so the proxy total alone is not
+    # reproducible. Calibrate with two single-core probes bracketing
+    # the proxy's op mix (BLAS matmul = upper envelope; the cubic
+    # kernel profile = the elementwise mix the warp/SRF stages
+    # actually run) and report them alongside, so any host's proxy
+    # can be normalized: work_const = total * elementwise_GFLOPs.
+    gflops = {}
+    a = rng.random((2048, 2048)).astype(np.float64)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a @ a
+    gflops["matmul_f64"] = 3 * 2 * 2048 ** 3 / (
+        time.perf_counter() - t0) / 1e9
+    t = (rng.random(4_000_000) * 4 - 2).astype(np.float64)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        cubic_kernel(t)
+    # ~13 flops/element in the cubic profile (3 mul+2 add per cubic x2
+    # branches evaluated + abs + 2 compares/selects)
+    gflops["cubic_profile"] = 5 * 13 * t.size / (
+        time.perf_counter() - t0) / 1e9
+    print(f"host calibration (single core): "
+          f"matmul {gflops['matmul_f64']:.1f} GFLOP/s, "
+          f"cubic profile {gflops['cubic_profile']:.2f} GFLOP/s, "
+          f"normalized work = total x cubic = "
+          f"{total * gflops['cubic_profile']:.0f} GFLOP-equiv")
+
     import json
     print(json.dumps({"metric": "cpu_reference_proxy_total",
                       "value": round(total, 2), "unit": "seconds",
                       "stages": {k: round(v, 2)
-                                 for k, v in timings.items()}}))
+                                 for k, v in timings.items()},
+                      "host_gflops": {k: round(v, 2)
+                                      for k, v in gflops.items()},
+                      "normalized_gflop_equiv": round(
+                          total * gflops["cubic_profile"], 1)}))
 
 
 if __name__ == "__main__":
