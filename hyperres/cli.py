@@ -169,9 +169,10 @@ def _cmd_srf(args) -> int:
 
     src = args.src
     if args.fetch:
+        url = args.url or COPERNICUS_SRF_URL
         src = user_cache_dir() / "S2-SRF.xlsx"
-        print(f"fetching {COPERNICUS_SRF_URL} -> {src}")
-        fetch_srf_workbook(src)
+        print(f"fetching {url} -> {src}")
+        fetch_srf_workbook(src, url=url)
     if src is None:
         print("error: provide a source file or --fetch")
         return 2
@@ -267,6 +268,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SRF workbook .xlsx or CSV sheet export")
     r.add_argument("--fetch", action="store_true",
                    help="download the official Copernicus workbook first")
+    r.add_argument("--url", default=None,
+                   help="override the workbook URL for --fetch (e.g. an "
+                        "institutional mirror)")
     r.add_argument("--platforms", nargs="+", default=["S2A", "S2B"])
     r.add_argument("--dest", default="user",
                    help="'user' cache, 'package' data dir, or a directory")

@@ -122,30 +122,37 @@ def load_srf_from_xlsx(
     col_prefix: Optional[str] = None,
 ) -> SRFDict:
     """Parse the official Copernicus SRF workbook (same sheet/column
-    conventions as the reference loader, s2_emit/srf.py:20-52). Requires
-    pandas with an xlsx engine; use ``builtin_srf`` when offline."""
-    import pandas as pd
+    conventions as the reference loader, s2_emit/srf.py:20-52) with the
+    in-repo stdlib-only xlsx codec (``hyperres.io.xlsx``) — no pandas /
+    openpyxl stack needed for one KB-scale table, and the import works
+    on dependency-free production images."""
+    from ..io.xlsx import read_table, sheet_names
 
     bands = bands or S2_BANDS_13
     platform = platform.upper()
     if col_prefix is None:
         col_prefix = f"{platform}_SR_AV_"
 
-    xl = pd.ExcelFile(xlsx_path)
-    candidates = [s for s in xl.sheet_names
+    names = sheet_names(xlsx_path)
+    candidates = [s for s in names
                   if "Spectral Responses" in s and platform in s]
     if not candidates:
         raise ValueError(
             f"No sheet containing 'Spectral Responses' and '{platform}'. "
-            f"Sheets: {xl.sheet_names}")
-    df = xl.parse(candidates[0])
-    wavelength_nm = pd.to_numeric(df[wavelength_col], errors="coerce").to_numpy()
+            f"Sheets: {names}")
+    header, data = read_table(xlsx_path, candidates[0])
+    cols = {name: j for j, name in enumerate(header)}
+    if wavelength_col not in cols:
+        raise ValueError(
+            f"Column {wavelength_col!r} not in sheet {candidates[0]!r} "
+            f"(has {header[:6]}...)")
+    wavelength_nm = data[:, cols[wavelength_col]]
     out: SRFDict = {}
     for b in bands:
         col = f"{col_prefix}{b}"
-        if col not in df.columns:
+        if col not in cols:
             raise KeyError(f"Column '{col}' not found")
-        resp = pd.to_numeric(df[col], errors="coerce").to_numpy()
+        resp = data[:, cols[col]]
         m = np.isfinite(wavelength_nm) & np.isfinite(resp) & (resp > 0)
         out[b] = (wavelength_nm[m].astype(float), resp[m].astype(float))
     return out
