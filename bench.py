@@ -298,8 +298,23 @@ def _wait_for_backend():
 def main():
     t_setup0 = time.perf_counter()
     _wait_for_backend()
+    import threading
+
     import jax
     import jax.numpy as jnp
+
+    # count persistent-compilation-cache traffic so the JSON proves
+    # whether this run was cache-warm (round-4 verdict item 1: the
+    # 451 s compile_s gave no way to tell a miss from a slow load)
+    cache_events = {"requests": 0, "hits": 0}
+
+    def _cache_listener(event, **kw):
+        if event == "/jax/compilation_cache/compile_requests_use_cache":
+            cache_events["requests"] += 1
+        elif event == "/jax/compilation_cache/cache_hits":
+            cache_events["hits"] += 1
+
+    jax.monitoring.register_event_listener(_cache_listener)
 
     from hyperres.utils import enable_compilation_cache
     cache_dir = enable_compilation_cache()  # repeat runs skip the
@@ -324,8 +339,83 @@ def main():
     t_setup = time.perf_counter() - t_setup0
     log(f"setup done in {t_setup:.1f}s")
 
+    # ---- accuracy program (defined early so the background compile
+    # thread can AOT-build it alongside the main program) ----
+    from hyperres.kernels.lstsq import polyval_channels
+    from hyperres.kernels.stats import erode_mask
+
+    @jax.jit
+    def accuracy_metrics(fused, target, coeffs):
+        vf = jnp.isfinite(fused).all(axis=-1)
+        valid = vf & jnp.isfinite(target).all(axis=-1)
+        e = erode_mask(valid, 2)
+        n = jnp.maximum(jnp.sum(e), 1)
+        mapped = jnp.clip(polyval_channels(coeffs,
+                                           jnp.nan_to_num(target)),
+                          0.0, 1.0)
+
+        def psnr_vs(ref):
+            diff = jnp.where(e[..., None], fused - ref, 0.0)
+            mse = jnp.sum(diff * diff) / (n * fused.shape[-1])
+            return 10.0 * jnp.log10(1.0 / mse)
+
+        num = jnp.sum(fused * mapped, axis=-1)
+        den = (jnp.linalg.norm(fused, axis=-1)
+               * jnp.linalg.norm(mapped, axis=-1) + 1e-12)
+        ang = jnp.arccos(jnp.clip(num / den, -1.0, 1.0))
+        sam = jnp.sum(jnp.where(e, ang, 0.0)) / n
+        return (vf.mean(), jnp.nanmax(fused), psnr_vs(mapped),
+                psnr_vs(target), sam)
+
+    # ------- compile (background thread) overlapped with ingest -------
+    # the AOT precompile needs only SHAPES + the plan's host matrices,
+    # no granule bytes — so the cold-start wall is max(compile, ingest)
+    # instead of their serial sum (round-4 verdict item 2)
+    h10, w10 = s2_grid.height, s2_grid.width
+    comp = {"t": None, "err": None, "acc": None}
+
+    def _release(tree):
+        for leaf in jax.tree_util.tree_leaves(tree):
+            if hasattr(leaf, "delete"):
+                leaf.delete()
+
+    def _bg_compile():
+        try:
+            t0 = time.perf_counter()
+            plan.precompile(raw.shape, (h10, w10, 3))
+            sds = jax.ShapeDtypeStruct((h10, w10, 3), jnp.float32)
+            csds = jax.ShapeDtypeStruct(
+                (3, plan.statics.degree + 1), jnp.float32)
+            comp["acc"] = accuracy_metrics.lower(sds, sds,
+                                                 csds).compile()
+            comp["t_compile"] = time.perf_counter() - t0
+            if os.environ.get("HYPERRES_BENCH_WARM_OVERLAP", "1") == "0":
+                comp["t"] = comp["t_compile"]
+                return
+            # first-execution warmup on device-created zeros: on the
+            # tunnel backend a cache-loaded executable defers its
+            # server-side finalization to the FIRST execute (measured
+            # 31 s at 0.2 scale) — pay it here, overlapped with ingest,
+            # so the post-ingest warmup run is steady-state.
+            zraw = jnp.zeros(raw.shape, jnp.float32)
+            zs2 = jnp.zeros((h10, w10, 3), jnp.float32)
+            o = plan(zraw, zs2, key=jax.random.PRNGKey(0))
+            jax.block_until_ready(o["fused_10m"])
+            tgt = plan.s2_reference_10m(o["utm_cube"], zs2)
+            a = comp["acc"](o["fused_10m"], tgt, o["coeffs"])
+            jax.block_until_ready(a)
+            _release((o, tgt, a, zraw, zs2))
+            del o, tgt, a, zraw, zs2
+            comp["t"] = time.perf_counter() - t0
+        except Exception as e:  # surfaced after join
+            comp["err"] = e
+
+    t_par0 = time.perf_counter()
+    log("compiling in background; uploading inputs ...")
+    bg = threading.Thread(target=_bg_compile, daemon=True)
+    bg.start()
+
     # ---------------- ingest (production transfer path) ----------------
-    log("uploading inputs ...")
     t_up0 = time.perf_counter()
     # raw cube: chunked per-band-affine u16 quantization overlapped with
     # host->HBM transfer and device-side assembly (hyperres.io.ingest —
@@ -354,6 +444,18 @@ def main():
     log(f"upload done in {t_ingest:.2f}s ({wire_gb:.2f} GB on the wire: "
         f"{transfer} raw cube + u16 S2 stack {t_s2_ingest:.2f}s)")
 
+    bg.join()
+    if comp["err"] is not None:
+        raise comp["err"]
+    t_compile = comp["t"]
+    t_cold = time.perf_counter() - t_par0   # = max(compile, ingest) + eps
+    cache_hit = (cache_events["hits"] > 0
+                 and cache_events["hits"] >= cache_events["requests"] - 2)
+    log(f"background compile+firstrun done in {t_compile:.2f}s "
+        f"(compile {comp['t_compile']:.2f}s; cache: "
+        f"{cache_events['hits']}/{cache_events['requests']} hits; "
+        f"cold start to data+programs ready: {t_cold:.2f}s)")
+
     jit_probe = jax.jit(lambda x: x[::997, ::997])
 
     def release(out):
@@ -363,17 +465,20 @@ def main():
         _ = float(jnp.sum(jnp.zeros(8)))  # hard sync
         time.sleep(2.0)  # let async frees land on the remote backend
 
-    log("compiling + warmup ...")
+    log("warmup run ...")
     t_c0 = time.perf_counter()
     out = plan(raw_j, s2rgb_j, key=jax.random.PRNGKey(0))
     jax.block_until_ready(out["fused_10m"])
+    t_w1 = time.perf_counter() - t_c0
     _ = np.asarray(jit_probe(out["fused_10m"]))
-    t_compile = time.perf_counter() - t_c0
+    t_warmup = time.perf_counter() - t_c0
+    if t_warmup > 5.0:
+        log(f"  [warmup breakdown: plan+block {t_w1:.2f}s, "
+            f"probe readback {t_warmup - t_w1:.2f}s]")
     utm_shape = out["utm_cube"].shape
     release(out)
     del out
-    log(f"warmup (incl. compile): {t_compile:.2f}s; "
-        f"UTM product {utm_shape}")
+    log(f"warmup run: {t_warmup:.2f}s; UTM product {utm_shape}")
 
     if os.environ.get("HYPERRES_BENCH_STAGES"):
         # tunnel overhead reference: trivial program + tiny readback
@@ -385,9 +490,11 @@ def main():
             _ = np.asarray(tiny(z))
             log(f"tunnel noop roundtrip: {time.perf_counter() - t0:.3f}s")
 
-    # accuracy metrics (device-resident, scalar-only readback), two
-    # tiers against the METHOD-IDEAL target from the real 10 m S2 alone
-    # through the same 60 m bottleneck (plan.s2_reference_10m):
+    # accuracy metrics (device-resident, scalar-only readback;
+    # `accuracy_metrics` defined above so the background thread could
+    # AOT-compile it), two tiers against the METHOD-IDEAL target from
+    # the real 10 m S2 alone through the same 60 m bottleneck
+    # (plan.s2_reference_10m):
     #  - pipeline PSNR/SAM: fused vs the FITTED coeffs applied to the
     #    target — the OT+poly map is shared so it cancels, isolating
     #    ortho/SRF/ingest/upsample correctness (warp-limited ~52 dB).
@@ -400,31 +507,11 @@ def main():
     # spatial content by construction — demo nb cell 81 upsamples the
     # sim bands — so that comparison measures the method's bilinear
     # smoothing, again ~33 dB, not pipeline health.)
-    from hyperres.kernels.lstsq import polyval_channels
-    from hyperres.kernels.stats import erode_mask
-
-    @jax.jit
-    def accuracy_metrics(fused, target, coeffs):
-        vf = jnp.isfinite(fused).all(axis=-1)
-        valid = vf & jnp.isfinite(target).all(axis=-1)
-        e = erode_mask(valid, 2)
-        n = jnp.maximum(jnp.sum(e), 1)
-        mapped = jnp.clip(polyval_channels(coeffs,
-                                           jnp.nan_to_num(target)),
-                          0.0, 1.0)
-
-        def psnr_vs(ref):
-            diff = jnp.where(e[..., None], fused - ref, 0.0)
-            mse = jnp.sum(diff * diff) / (n * fused.shape[-1])
-            return 10.0 * jnp.log10(1.0 / mse)
-
-        num = jnp.sum(fused * mapped, axis=-1)
-        den = (jnp.linalg.norm(fused, axis=-1)
-               * jnp.linalg.norm(mapped, axis=-1) + 1e-12)
-        ang = jnp.arccos(jnp.clip(num / den, -1.0, 1.0))
-        sam = jnp.sum(jnp.where(e, ang, 0.0)) / n
-        return (vf.mean(), jnp.nanmax(fused), psnr_vs(mapped),
-                psnr_vs(target), sam)
+    def run_accuracy(fused, target, coeffs):
+        if (comp["acc"] is not None and fused.shape == target.shape
+                and fused.shape == (h10, w10, 3)):
+            return comp["acc"](fused, target, coeffs)
+        return accuracy_metrics(fused, target, coeffs)
 
     n_runs = max(1, int(os.environ.get("HYPERRES_BENCH_RUNS", "3")))
     times = []
@@ -439,7 +526,7 @@ def main():
         fused_shape = out["fused_10m"].shape
         if i == n_runs - 1:
             target = plan.s2_reference_10m(out["utm_cube"], s2rgb_j)
-            acc = [float(x) for x in accuracy_metrics(
+            acc = [float(x) for x in run_accuracy(
                 out["fused_10m"], target, out["coeffs"])]
             target.delete()
             coeffs_np = np.asarray(out["coeffs"])
@@ -483,9 +570,17 @@ def main():
         "ingest_s": round(t_ingest, 3),
         "ingest_inclusive_s": round(t_ingest + elapsed, 3),
         "transfer": transfer,
-        # one-time costs, surfaced so they are visible (compile_s drops
-        # to seconds when the persistent cache in-repo survives)
+        # one-time costs, surfaced so they are visible. compile_s is
+        # the BACKGROUND AOT compile wall (overlapped with ingest —
+        # cold_start_s = max of the two, the real time-to-data+programs);
+        # cache_hits/requests prove whether the persistent compilation
+        # cache was warm (warm: load-only, measured seconds-scale)
         "compile_s": round(t_compile, 2),
+        "warmup_s": round(t_warmup, 2),
+        "cold_start_s": round(t_cold, 2),
+        "cache_hits": cache_events["hits"],
+        "cache_requests": cache_events["requests"],
+        "cache_warm": bool(cache_hit),
         "setup_s": round(t_setup, 2),
         "engine": "FusedOrthoFusionPlan",
         "warp_kernel": warp_kernel,

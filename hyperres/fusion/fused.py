@@ -503,9 +503,15 @@ class FusedFusionPlan:
         pass the SAME (warped) EMIT cube and 10 m S2 the plan consumed
         so the recomputed stretch/mask are bit-identical to the plan's
         internal ones."""
+        cube = jnp.asarray(emit_cube_hwb, jnp.float32)
+        s2 = jnp.asarray(s2_rgb10_hwb, jnp.float32)
+        if (getattr(self, "_compiled_audit", None) is not None
+                and self._compiled_audit_shapes == (cube.shape, s2.shape)):
+            return self._compiled_audit(cube, s2, self._Wsrf,
+                                        self._Wr60, self._Wc60,
+                                        self._Wr10, self._Wc10)
         return _audit_target_program(
-            self.statics, jnp.asarray(emit_cube_hwb, jnp.float32),
-            jnp.asarray(s2_rgb10_hwb, jnp.float32), self._Wsrf,
+            self.statics, cube, s2, self._Wsrf,
             self._Wr60, self._Wc60, self._Wr10, self._Wc10)
 
 
@@ -612,13 +618,53 @@ class FusedOrthoFusionPlan:
         return self._fusion.s2_reference_10m(utm_cube_hwb,
                                              s2_rgb10_hwb)
 
+    def precompile(self, raw_shape_hwb, s2_shape_hw3,
+                   audit: bool = True) -> None:
+        """AOT-compile the full program (and optionally the accuracy
+        audit target) from SHAPES alone — no granule bytes, no HBM
+        allocation. Needs only the plan's host-precomputed matrices, so
+        it can run on a background thread CONCURRENTLY with the input
+        ingest stream (cold-start wall = max(compile, ingest) instead
+        of their sum; BENCHMARK.md "cold start"). Compiles go through
+        the persistent compilation cache, so a warm repeat process
+        pays only the executable load. Subsequent ``__call__`` /
+        ``s2_reference_10m`` with matching shapes dispatch to the AOT
+        executables (same math, same statics — and one stable cache
+        key across processes instead of the dispatch path's
+        layout-sensitive variant)."""
+        f = self._fusion
+        raw_sds = jax.ShapeDtypeStruct(tuple(raw_shape_hwb), jnp.float32)
+        s2_sds = jax.ShapeDtypeStruct(tuple(s2_shape_hw3), jnp.float32)
+        key_sds = jax.ShapeDtypeStruct((2,), jnp.uint32)
+        self._compiled = _orthofusion_program.lower(
+            f.statics, self.warp_statics, raw_sds, self._flat,
+            self._valid, self._wr, self._wc, self._cstar, f._Wsrf,
+            f._Wr60, f._Wc60, f._Wr10, f._Wc10, s2_sds,
+            key_sds).compile()
+        self._compiled_shapes = (tuple(raw_shape_hwb),
+                                 tuple(s2_shape_hw3))
+        if audit:
+            utm_sds = jax.ShapeDtypeStruct(
+                (self.utm_grid.height, self.utm_grid.width,
+                 raw_shape_hwb[-1]), jnp.float32)
+            f._compiled_audit = _audit_target_program.lower(
+                f.statics, utm_sds, s2_sds, f._Wsrf, f._Wr60, f._Wc60,
+                f._Wr10, f._Wc10).compile()
+            f._compiled_audit_shapes = (utm_sds.shape, tuple(s2_shape_hw3))
+
     def __call__(self, raw_hwb, s2_rgb10_hwb, key=None) -> Dict:
         if key is None:
             key = jax.random.PRNGKey(self._fusion.config.ot.seed)
         f = self._fusion
+        raw = jnp.asarray(raw_hwb, jnp.float32)
+        s2 = jnp.asarray(s2_rgb10_hwb, jnp.float32)
+        if (getattr(self, "_compiled", None) is not None
+                and self._compiled_shapes == (raw.shape, s2.shape)):
+            return self._compiled(
+                raw, self._flat, self._valid, self._wr, self._wc,
+                self._cstar, f._Wsrf, f._Wr60, f._Wc60, f._Wr10,
+                f._Wc10, s2, jnp.asarray(key, jnp.uint32))
         return _orthofusion_program(
-            f.statics, self.warp_statics,
-            jnp.asarray(raw_hwb, jnp.float32), self._flat, self._valid,
+            f.statics, self.warp_statics, raw, self._flat, self._valid,
             self._wr, self._wc, self._cstar, f._Wsrf, f._Wr60, f._Wc60,
-            f._Wr10, f._Wc10, jnp.asarray(s2_rgb10_hwb, jnp.float32),
-            key)
+            f._Wr10, f._Wc10, s2, key)

@@ -52,8 +52,12 @@ def enable_compilation_cache(
         # persistent cache rather than crashing the caller
         return None
     jax.config.update("jax_compilation_cache_dir", str(d))
-    # cache every program regardless of size, and anything that took
-    # more than a second to compile (the tunnel's floor is far above)
+    # cache EVERY program, whatever its size or compile time: with the
+    # 1.0 s default, the pipeline's small helper programs (probes,
+    # quantizers, scalar reductions) recompile on every process start
+    # AND make a warm run indistinguishable from a cold one in the
+    # cache-hit telemetry bench.py reports (hits stay < requests
+    # forever because sub-second entries are never written)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return d
