@@ -81,48 +81,109 @@ class BatchPairDriver:
             "total_seconds": res.info.get("total_seconds"),
         }
 
-    def run(self, jobs: List[PairJob],
-            resume: bool = True) -> Dict[str, Dict]:
-        """Process all jobs; completed pairs are skipped on resume.
-        Returns the manifest {pair_id: record}."""
-        for job in jobs:
-            rec = self.manifest.get(job.pair_id, {
-                "pair_id": job.pair_id,
-                "emit_nc_path": job.emit_nc_path,
-                "s2_stack_tif": job.s2_stack_tif,
-                "meta": job.meta,
-                "status": "pending",
-                "attempts": [],
-            })
-            if resume and rec.get("status") == "done":
-                continue
-            pair_dir = self.out_root / job.pair_id
-            done = False
-            for attempt in range(1, self.max_retries + 2):
-                t0 = time.perf_counter()
-                try:
+    def _run_one(self, job: PairJob, device=None) -> Dict:
+        """Execute one job (with retries) and return its manifest
+        record. ``device``: a jax.Device this pair's computation is
+        pinned to (scene-level data parallelism — the job's uploads and
+        uncommitted computations land on that chip)."""
+        rec = self.manifest.get(job.pair_id, {
+            "pair_id": job.pair_id,
+            "emit_nc_path": job.emit_nc_path,
+            "s2_stack_tif": job.s2_stack_tif,
+            "meta": job.meta,
+            "status": "pending",
+            "attempts": [],
+        })
+        pair_dir = self.out_root / job.pair_id
+        done = False
+        for attempt in range(1, self.max_retries + 2):
+            t0 = time.perf_counter()
+            try:
+                if device is not None:
+                    import jax
+
+                    with jax.default_device(device):
+                        outputs = self.runner(job, pair_dir)
+                else:
                     outputs = self.runner(job, pair_dir)
-                    rec["attempts"].append({
-                        "attempt": attempt,
-                        "success": True,
-                        "seconds": round(time.perf_counter() - t0, 3),
-                    })
-                    rec["status"] = "done"
-                    rec["outputs"] = outputs
-                    done = True
-                    break
-                except Exception as e:  # record-and-continue
-                    rec["attempts"].append({
-                        "attempt": attempt,
-                        "success": False,
-                        "seconds": round(time.perf_counter() - t0, 3),
-                        "error": str(e),
-                        "traceback": traceback.format_exc(limit=5),
-                    })
-            if not done:
-                rec["status"] = "failed"
-            self.manifest[job.pair_id] = rec
-            self._save_manifest()
+                rec["attempts"].append({
+                    "attempt": attempt,
+                    "success": True,
+                    "seconds": round(time.perf_counter() - t0, 3),
+                    **({"device": str(device)} if device is not None
+                       else {}),
+                })
+                rec["status"] = "done"
+                rec["outputs"] = outputs
+                done = True
+                break
+            except Exception as e:  # record-and-continue
+                rec["attempts"].append({
+                    "attempt": attempt,
+                    "success": False,
+                    "seconds": round(time.perf_counter() - t0, 3),
+                    "error": str(e),
+                    "traceback": traceback.format_exc(limit=5),
+                    **({"device": str(device)} if device is not None
+                       else {}),
+                })
+        if not done:
+            rec["status"] = "failed"
+        return rec
+
+    def run(self, jobs: List[PairJob], resume: bool = True,
+            devices: Optional[list] = None) -> Dict[str, Dict]:
+        """Process all jobs; completed pairs are skipped on resume.
+        Returns the manifest {pair_id: record}.
+
+        ``devices``: a list of ``jax.Device`` to data-parallelise the
+        batch over SCENES — the embarrassingly-parallel axis the
+        reference walks sequentially (comb_exps.ipynb cell 9; SURVEY.md
+        section 2.8 "data parallelism over tiles/scenes"). One worker
+        thread per device pulls jobs from a shared queue and pins each
+        pair's device work to its chip via ``jax.default_device``
+        (thread-local in JAX), so N granule pipelines run concurrently
+        with per-pair ledgers and resume semantics unchanged. Pass
+        ``jax.devices()`` for whole-host batches; ``None`` keeps the
+        sequential single-device loop."""
+        if devices is None or len(devices) <= 1:
+            dev = devices[0] if devices else None
+            for job in jobs:
+                rec = self.manifest.get(job.pair_id, {})
+                if resume and rec.get("status") == "done":
+                    continue
+                self.manifest[job.pair_id] = self._run_one(job, dev)
+                self._save_manifest()
+            return self.manifest
+
+        import queue
+        import threading
+
+        q: "queue.Queue[PairJob]" = queue.Queue()
+        for job in jobs:
+            if resume and self.manifest.get(job.pair_id,
+                                            {}).get("status") == "done":
+                continue
+            q.put(job)
+        lock = threading.Lock()
+
+        def worker(dev):
+            while True:
+                try:
+                    job = q.get_nowait()
+                except queue.Empty:
+                    return
+                rec = self._run_one(job, dev)
+                with lock:
+                    self.manifest[job.pair_id] = rec
+                    self._save_manifest()
+
+        threads = [threading.Thread(target=worker, args=(d,),
+                                    daemon=True) for d in devices]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
         return self.manifest
 
     def summary(self) -> Dict[str, int]:
