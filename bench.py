@@ -98,9 +98,13 @@ def build_workload(scale: float = 1.0, warp_kernel: str = "two_pass",
     under ``.benchcache/`` — scene synthesis is minutes of single-core
     host NumPy at full scale, pure waste on repeat runs.
     """
-    from hyperres.core.config import PolyFusionConfig
+    from hyperres.core.config import OTConfig, PolyFusionConfig
     from hyperres.fusion.fused import FusedOrthoFusionPlan
 
+    if config is None and os.environ.get("HYPERRES_BENCH_OT_DEBIAS"):
+        # A/B knob for the Sinkhorn-divergence shrinkage correction
+        # (reference parity stays the default; docs/BENCHMARK.md)
+        config = PolyFusionConfig(ot=OTConfig(debias=True))
     scene = _load_scene(scale, seed) if scene_cache else None
     if scene is None:
         scene = _generate_scene(scale, seed)

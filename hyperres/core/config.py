@@ -82,6 +82,11 @@ class OTConfig:
     num_itermax: int = 300
     stop_thr: float = 1e-6
     seed: int = 0
+    # Sinkhorn-divergence shrinkage correction (adds one self-transport
+    # Sinkhorn). False = reference parity: POT's raw entropic
+    # barycentric map (s2_emit/color.py:100-104), whose blur is the
+    # documented pipeline-vs-method PSNR gap.
+    debias: bool = False
 
 
 @dataclass(frozen=True)

@@ -177,7 +177,8 @@ def _fusion_core(st: FusionStatics, cube_hwb, s2rgb10_hwb, Wsrf, Wr60,
         Ys = jnp.where(wys[:, None] > 0, Ys, 0.0)
         Ybar = ot_barycentric_targets(
             Xs, Ys, reg=st.ot.reg, num_itermax=st.ot.num_itermax,
-            stop_thr=st.ot.stop_thr, wx=wxs, wy=wys)
+            stop_thr=st.ot.stop_thr, wx=wxs, wy=wys,
+            debias=getattr(st.ot, "debias", False))
         if st.fusion_method == "ot_poly":
             fit = jnp.stack([polyfit(Xs[:, ch], Ybar[:, ch], st.degree,
                                      w=wxs) for ch in range(c)])

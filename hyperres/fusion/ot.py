@@ -38,7 +38,8 @@ def _sample_pair(src_rgb, ref_rgb, mask, n_samples, seed):
 def _barycentric(X: np.ndarray, Y: np.ndarray, cfg: OTConfig) -> np.ndarray:
     Ybar = ot_barycentric_targets(
         jnp.asarray(X, dtype=jnp.float32), jnp.asarray(Y, dtype=jnp.float32),
-        reg=cfg.reg, num_itermax=cfg.num_itermax, stop_thr=cfg.stop_thr)
+        reg=cfg.reg, num_itermax=cfg.num_itermax, stop_thr=cfg.stop_thr,
+        debias=getattr(cfg, "debias", False))
     return np.asarray(Ybar, dtype=np.float64)
 
 

@@ -87,13 +87,14 @@ def barycentric_map(P: jax.Array, Y: jax.Array) -> jax.Array:
                    precision=jax.lax.Precision.HIGHEST) / row_sum
 
 
-@partial(jax.jit, static_argnames=("num_itermax", "engine"))
+@partial(jax.jit, static_argnames=("num_itermax", "engine", "debias"))
 def ot_barycentric_targets(X: jax.Array, Y: jax.Array, reg: float = 0.05,
                            num_itermax: int = 300,
                            stop_thr: float = 1e-6,
                            wx: jax.Array | None = None,
                            wy: jax.Array | None = None,
-                           engine: str = "auto") -> jax.Array:
+                           engine: str = "auto",
+                           debias: bool = False) -> jax.Array:
     """End-to-end: Sinkhorn between samples X (n, d) and Y (m, d), then
     barycentric targets for each X row (the shared core of ot_match_rgb /
     fit_ot_poly / fit_ot_affine). ``wx`` / ``wy`` are optional 0/1 slot
@@ -113,7 +114,17 @@ def ot_barycentric_targets(X: jax.Array, Y: jax.Array, reg: float = 0.05,
     same wall from the other side (156 us/iter even with the column
     sum reusing the row pass's exponentials), so "auto" keeps the XLA
     path; the kernel remains for configurations where HBM is contended
-    (e.g. overlapped ingest)."""
+    (e.g. overlapped ingest).
+
+    ``debias=True`` applies the Sinkhorn-divergence shrinkage
+    correction: entropic OT's barycentric map contracts targets toward
+    Y's mean (the documented ~15 dB pipeline-vs-method PSNR gap is this
+    blur, faithful to POT's behavior at the same reg). The debiased map
+    subtracts the SELF-transport's contraction measured on X itself,
+    T_debias(x) = T_XY(x) + (x - T_XX(x)) — exact to first order in
+    reg, identity-preserving when Y = X; reference behavior stays the
+    default (s2_emit/color.py:100-104 has no debiasing). Costs one
+    extra (n, n) Sinkhorn."""
     n, m = X.shape[0], Y.shape[0]
     if wx is None:
         a = jnp.full((n,), 1.0 / n, dtype=jnp.float32)
@@ -145,4 +156,14 @@ def ot_barycentric_targets(X: jax.Array, Y: jax.Array, reg: float = 0.05,
     else:
         P, _ = sinkhorn_log(a, b, M, reg, num_itermax=num_itermax,
                             stop_thr=stop_thr)
-    return barycentric_map(P, Y)
+    T_xy = barycentric_map(P, Y)
+    if not debias:
+        return T_xy
+    # self-transport at the same reg: its barycentric map measures the
+    # entropic contraction on X's own geometry; adding (X - T_XX)
+    # restores the spread the X->Y map lost to the same blur
+    Mxx = sqeuclidean_cdist(X, X)
+    Pxx, _ = sinkhorn_log(a, a, Mxx, reg, num_itermax=num_itermax,
+                          stop_thr=stop_thr)
+    T_xx = barycentric_map(Pxx, X)
+    return T_xy + (X - T_xx)
