@@ -404,10 +404,16 @@ def main():
             zraw = jnp.zeros(raw.shape, jnp.float32)
             zs2 = jnp.zeros((h10, w10, 3), jnp.float32)
             o = plan(zraw, zs2, key=jax.random.PRNGKey(0))
-            jax.block_until_ready(o["fused_10m"])
+            # a tiny HOST READBACK, not just block_until_ready: the
+            # tunnel defers the server-side executable load past
+            # block_until_ready — only a readback forces it (measured:
+            # a warm-cache full-scale run reported compile 6.15 s /
+            # "plan+block 0.00 s" and then stalled 386 s in the first
+            # 1-KB readback; that load belongs HERE, overlapped)
+            _ = np.asarray(o["fused_10m"][::997, ::997])
             tgt = plan.s2_reference_10m(o["utm_cube"], zs2)
             a = comp["acc"](o["fused_10m"], tgt, o["coeffs"])
-            jax.block_until_ready(a)
+            _ = [float(x) for x in a]
             _release((o, tgt, a, zraw, zs2))
             del o, tgt, a, zraw, zs2
             comp["t"] = time.perf_counter() - t0
