@@ -459,8 +459,14 @@ def main():
         raise comp["err"]
     t_compile = comp["t"]
     t_cold = time.perf_counter() - t_par0   # = max(compile, ingest) + eps
+    # "warm" = a majority of programs loaded from the persistent cache.
+    # A handful of tiny per-process programs (threefry seed, probes)
+    # re-key every run, so exact hits==requests never happens; measured
+    # clusters are 0-6/19 hits cold vs 16-19/27 warm — majority
+    # separates them cleanly where `requests - 2` misclassified warm
+    # runs as cold.
     cache_hit = (cache_events["hits"] > 0
-                 and cache_events["hits"] >= cache_events["requests"] - 2)
+                 and cache_events["hits"] * 2 >= cache_events["requests"])
     log(f"background compile+firstrun done in {t_compile:.2f}s "
         f"(compile {comp['t_compile']:.2f}s; cache: "
         f"{cache_events['hits']}/{cache_events['requests']} hits; "
