@@ -1,6 +1,6 @@
 """MFU / speed-of-light audit of the headline bench run (round-4
-VERDICT item 8): per-stage achieved FLOPs and HBM bytes of the 0.377 s
-full-granule program vs TPU v5e peaks, so "is it actually fast" has a
+VERDICT item 8; stage numbers refreshed round 5): per-stage achieved
+FLOPs and HBM bytes of the 0.332 s full-granule program vs TPU v5e peaks, so "is it actually fast" has a
 denominator.
 
 All FLOP/byte counts are analytic from the program's shapes (formulas
@@ -60,9 +60,10 @@ add("phase-2 10m->60m box average", H10 * W10 * 3 * (6 + 6) * 2 / 6,
     "pad/reshape block-sum; est. from HBM bound")
 
 # 4. shared percentile stretch (sort) — measured
-add("shared stretch (sort percentiles)", 0,
+add("shared stretch (bit-search percentiles)", 0,
     (2 * HU * WU * 3 * F4 * 4) / 1e9, 17.4,
-    "sort is compare-bound, not FLOP-bound; 2 arrays x ~4 passes")
+    "32 fused compare+count passes; run-time parity with the sort "
+    "(headline unchanged), win is shape-independent codegen")
 
 # 5. Sinkhorn 5000^2 x 300 + fit — measured
 add("Sinkhorn OT (5000^2 x 300) + polyfit", 300 * 5000 * 5000 * 8,
@@ -72,8 +73,9 @@ add("Sinkhorn OT (5000^2 x 300) + polyfit", 300 * 5000 * 5000 * 8,
 # 6. phase-4 bilinear upsample + polyval at 10 m (fast path)
 add("phase-4 60m->10m upsample + polyval",
     H10 * W10 * 3 * ((2 + 2) * 2 + 8),
-    (H10 * W10 * 3 * F4 * 3 + HU * WU * 3 * F4) / 1e9, 60.0,
-    "phase-cycled slice lerps + Horner; time = residual estimate")
+    (H10 * W10 * 3 * F4 * 3 + HU * WU * 3 * F4) / 1e9, 51.3,
+    "MEASURED round 5 (scripts/probe_phase4.py): bare upsample 49.2, "
+    "epilogue ~1.4, transpose ~0.8")
 
 
 def main():
@@ -92,13 +94,13 @@ def main():
     print(f"| **total (sum of stages)** | {tot_f:.3f} | {tot_b:.2f} | "
           f"{tot_f * 1e12 / PEAK_F32_3PASS * 1e3:.1f} | "
           f"{tot_b * 1e9 / HBM * 1e3:.1f} | {tot_m:.1f} | | "
-          f"measured end-to-end 377 ms (fused program overlaps stages) |")
+          f"measured end-to-end 332 ms (fused program overlaps stages) |")
     print()
-    print(f"aggregate: {tot_f:.2f} TFLOP / 377 ms = "
-          f"{tot_f * 1e12 / 0.377 / 1e12:.2f} TFLOP/s "
-          f"({100 * tot_f * 1e12 / 0.377 / PEAK_F32_3PASS:.1f}% of the "
-          f"3-pass-f32 MXU peak); {tot_b:.1f} GB / 377 ms = "
-          f"{tot_b / 0.377:.0f} GB/s ({100 * tot_b / 0.377 / 819:.0f}% "
+    print(f"aggregate: {tot_f:.2f} TFLOP / 332 ms = "
+          f"{tot_f * 1e12 / 0.332 / 1e12:.2f} TFLOP/s "
+          f"({100 * tot_f * 1e12 / 0.332 / PEAK_F32_3PASS:.1f}% of the "
+          f"3-pass-f32 MXU peak); {tot_b:.1f} GB / 332 ms = "
+          f"{tot_b / 0.332:.0f} GB/s ({100 * tot_b / 0.332 / 819:.0f}% "
           f"of HBM peak)")
 
 
